@@ -1,0 +1,333 @@
+"""OTTL-subset -> pyspark Column compiler.
+
+The reference compiles every rule's OTTL condition / value expression ONCE at
+startup (processor.go:81-118) into an interpreted AST.  We do the same but the
+target is a Catalyst ``Column`` tree, so at runtime the rules are whole-stage
+code-generated JVM expressions — no per-row interpretation at all.
+
+Grammar covered (the exact subset used by the shipped rules, config.yaml:56-195,
+plus the constructs used in the reference's tests):
+
+    expr      := or_expr
+    or_expr   := and_expr ("or" and_expr)*
+    and_expr  := cmp ("and" cmp)*
+    cmp       := term (("==" | "!=") term)?
+    term      := "true" | "false" | "nil" | STRING
+               | "attributes" "[" STRING "]"
+               | "resource.attributes" "[" STRING "]"
+               | "name"
+               | IDENT "(" args ")"          -- function call
+               | "[" expr ("," expr)* "]"    -- list literal
+               | "(" expr ")"
+
+Functions: NormalizePath, ParseSQL, RemoveQueryParams, FirstNonNil, Concat
+(ottl_functions.go:17-28).  ``Concat(list, sep)`` requires its separator to be
+a string literal, as in every shipped rule.
+
+Null semantics map 1:1:
+  * ``attributes["k"]`` on a missing key -> NULL (pcommon miss -> nil).
+  * ``x == "lit"`` with x NULL -> NULL, which is falsy in a predicate — same
+    observable behavior as OTTL's nil-compare -> false (rule skipped).
+  * ``x != nil`` / ``x == nil`` -> IS NOT NULL / IS NULL.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .scalars import (
+    attr,
+    first_non_nil,
+    normalize_path,
+    ottl_concat,
+    parse_sql,
+    remove_query_params,
+)
+
+__all__ = ["compile_ottl", "OTTLSyntaxError"]
+
+
+class OTTLSyntaxError(ValueError):
+    """Raised when an expression falls outside the supported OTTL subset."""
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        "(?:[^"\\]|\\.)*"      # double-quoted string
+      | ==|!=
+      | \[|\]|\(|\)|,
+      | [A-Za-z_][A-Za-z0-9_.]*  # identifiers (incl. dotted like resource.attributes)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[str]:
+    tokens: list[str] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise OTTLSyntaxError(f"cannot tokenize at {src[pos:pos+20]!r} in {src!r}")
+        tokens.append(m.group(1))
+        pos = m.end()
+    return tokens
+
+
+# ---- AST ----------------------------------------------------------------
+
+
+@dataclass
+class _Str:
+    value: str
+
+
+@dataclass
+class _Bool:
+    value: bool
+
+
+class _Nil:
+    pass
+
+
+@dataclass
+class _AttrRef:
+    key: str
+    scope: str  # "attributes" | "resource.attributes"
+
+
+class _NameRef:
+    pass
+
+
+@dataclass
+class _List:
+    items: list
+
+
+@dataclass
+class _Call:
+    func: str
+    args: list
+
+
+@dataclass
+class _Cmp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class _BoolOp:
+    op: str  # "and" | "or"
+    parts: list
+
+
+class _Parser:
+    def __init__(self, tokens: list[str], src: str):
+        self.toks = tokens
+        self.i = 0
+        self.src = src
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise OTTLSyntaxError(f"unexpected end of expression in {self.src!r}")
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got != tok:
+            raise OTTLSyntaxError(f"expected {tok!r} got {got!r} in {self.src!r}")
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise OTTLSyntaxError(f"trailing tokens {self.toks[self.i:]} in {self.src!r}")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() == "or":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else _BoolOp("or", parts)
+
+    def and_expr(self):
+        parts = [self.cmp()]
+        while self.peek() == "and":
+            self.next()
+            parts.append(self.cmp())
+        return parts[0] if len(parts) == 1 else _BoolOp("and", parts)
+
+    def cmp(self):
+        left = self.term()
+        if self.peek() in ("==", "!="):
+            op = self.next()
+            right = self.term()
+            return _Cmp(op, left, right)
+        return left
+
+    def term(self):
+        tok = self.next()
+        if tok.startswith('"'):
+            return _Str(_unescape(tok))
+        if tok == "true":
+            return _Bool(True)
+        if tok == "false":
+            return _Bool(False)
+        if tok == "nil":
+            return _Nil()
+        if tok == "[":
+            items = []
+            if self.peek() != "]":
+                items.append(self.or_expr())
+                while self.peek() == ",":
+                    self.next()
+                    items.append(self.or_expr())
+            self.expect("]")
+            return _List(items)
+        if tok == "(":
+            node = self.or_expr()
+            self.expect(")")
+            return node
+        if tok in ("attributes", "resource.attributes"):
+            self.expect("[")
+            key = self.next()
+            if not key.startswith('"'):
+                raise OTTLSyntaxError(f"attribute key must be a string literal in {self.src!r}")
+            self.expect("]")
+            return _AttrRef(_unescape(key), tok)
+        if tok == "name":
+            return _NameRef()
+        if self.peek() == "(":
+            self.next()
+            args = []
+            if self.peek() != ")":
+                args.append(self.or_expr())
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self.or_expr())
+            self.expect(")")
+            return _Call(tok, args)
+        raise OTTLSyntaxError(f"unexpected token {tok!r} in {self.src!r}")
+
+
+def _unescape(quoted: str) -> str:
+    body = quoted[1:-1]
+    return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+# ---- compile to Column ---------------------------------------------------
+
+
+def _compile_node(node, attrs_col: Column, name_col: Column, resource_col: Column | None) -> Column:
+    if isinstance(node, _Str):
+        return F.lit(node.value)
+    if isinstance(node, _Bool):
+        return F.lit(node.value)
+    if isinstance(node, _Nil):
+        return F.lit(None)
+    if isinstance(node, _AttrRef):
+        if node.scope == "attributes":
+            return attr(attrs_col, node.key)
+        if resource_col is None:
+            raise OTTLSyntaxError("resource.attributes used but no resource column provided")
+        return attr(resource_col, node.key)
+    if isinstance(node, _NameRef):
+        return name_col
+    if isinstance(node, _Cmp):
+        right_nil = isinstance(node.right, _Nil)
+        left_nil = isinstance(node.left, _Nil)
+        if right_nil or left_nil:
+            target = node.left if right_nil else node.right
+            col = _compile_node(target, attrs_col, name_col, resource_col)
+            return col.isNull() if node.op == "==" else col.isNotNull()
+        lc = _compile_node(node.left, attrs_col, name_col, resource_col)
+        rc = _compile_node(node.right, attrs_col, name_col, resource_col)
+        return (lc == rc) if node.op == "==" else (lc != rc)
+    if isinstance(node, _BoolOp):
+        cols = [_compile_node(p, attrs_col, name_col, resource_col) for p in node.parts]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if node.op == "and" else (out | c)
+        return out
+    if isinstance(node, _List):
+        raise OTTLSyntaxError("bare list is not a value; lists are only function arguments")
+    if isinstance(node, _Call):
+        return _compile_call(node, attrs_col, name_col, resource_col)
+    raise OTTLSyntaxError(f"unsupported node {node!r}")
+
+
+def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
+    def comp(n):
+        return _compile_node(n, attrs_col, name_col, resource_col)
+
+    if node.func == "NormalizePath":
+        (arg,) = node.args
+        return normalize_path(comp(arg))
+    if node.func == "ParseSQL":
+        (arg,) = node.args
+        return parse_sql(comp(arg))
+    if node.func == "RemoveQueryParams":
+        (arg,) = node.args
+        return remove_query_params(comp(arg))
+    if node.func == "FirstNonNil":
+        (lst,) = node.args
+        if not isinstance(lst, _List):
+            raise OTTLSyntaxError("FirstNonNil takes a list literal")
+        return first_non_nil([comp(i) for i in lst.items])
+    if node.func == "Concat":
+        if len(node.args) != 2:
+            raise OTTLSyntaxError("Concat takes (list, separator)")
+        lst, sep = node.args
+        if not isinstance(lst, _List) or not isinstance(sep, _Str):
+            raise OTTLSyntaxError("Concat takes (list literal, string-literal separator)")
+        return ottl_concat([comp(i) for i in lst.items], sep.value)
+    raise OTTLSyntaxError(f"unsupported OTTL function {node.func!r}")
+
+
+def compile_ottl(
+    expr: str,
+    attrs_col: Column | str = "attrs",
+    name_col: Column | str = "name",
+    resource_col: Column | str | None = None,
+) -> Column:
+    """Compile one OTTL expression string into a Catalyst Column.
+
+    ``attrs_col`` must be a ``map<string,string>`` column; ``name_col`` the span
+    name analogue.  Runs once on the driver per rule, mirroring the
+    compile-once design of processor.go:81-118.
+    """
+    attrs_c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
+    name_c = F.col(name_col) if isinstance(name_col, str) else name_col
+    res_c = F.col(resource_col) if isinstance(resource_col, str) else resource_col
+    ast = _Parser(_tokenize(expr), expr).parse()
+    return _compile_node(ast, attrs_c, name_c, res_c)
+
+
+def value_expr_never_null(expr: str) -> bool:
+    """True when the compiled value expression cannot evaluate to NULL.
+
+    Used by the rule compiler: the reference skips a rule whose name expression
+    *errors* (processor.go:244-250); in our model that is "evaluates to NULL",
+    which we fold into the rule predicate.  Concat never errors (nil renders
+    ""), and string literals are constant — for those we can omit the NULL
+    guard and keep the predicate cheaper.
+    """
+    ast = _Parser(_tokenize(expr), expr).parse()
+    return isinstance(ast, _Str) or (isinstance(ast, _Call) and ast.func == "Concat")

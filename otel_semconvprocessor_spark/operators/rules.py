@@ -1,0 +1,203 @@
+"""The rule engine: skip-guarded, first-match-wins priority cascade.
+
+Reference semantics (processor.go:192-324), re-expressed as ONE Catalyst
+``CASE WHEN`` chain producing a struct — evaluated lazily in priority order,
+exactly like the reference's ``break`` at processor.go:322, but JVM-side and
+whole-stage code-generated instead of per-row interpreted:
+
+  * skip-guard: a span with a pre-existing ``operation.name`` attribute is not
+    processed at all (processor.go:202-206).
+  * per-rule span-kind filter (processor.go:215-228).
+  * condition eval error => rule skipped (processor.go:231-241): NULL-valued
+    conditions are falsy in CASE WHEN, same observable behavior.
+  * name-expression eval error => rule skipped, fall through to the NEXT rule
+    (processor.go:244-250): encoded by folding ``name_expr IS NOT NULL`` into
+    the rule predicate (except for Concat/literal exprs which can never error).
+  * operation_type eval error => empty type but the rule still applies
+    (processor.go:256-262): the type column is simply NULL.
+  * enrich mode (processor.go:266-282): attributes only, span name untouched.
+  * enforce mode (processor.go:284-309): span name overwritten; original name
+    stashed in ``name.original`` only when preserve_original_name is set AND
+    the name actually changed (processor.go:290).
+  * ``operation.type`` is set-if-absent in both modes (processor.go:270-274,
+    296-301).
+
+Input contract: df has ``name:string``, ``kind:string`` (lowercase span-kind
+words), ``attrs:map<string,string>``.  Output adds:
+
+  rule_id:string          matched rule id (NULL: skip-guarded or no match)
+  operation_name:string   computed name for matched rows (NULL otherwise)
+  operation_type:string   computed type for matched rows (NULL when rule has
+                          no type expr or it errored — Go's "" case)
+  name:string             (replaced) enforced name in enforce mode
+  name_original:string    see above
+  attrs:map               (replaced) updated attribute map
+
+Scale note: the cascade is pure expression work — no shuffle, no UDF, no
+joins; it fuses into the scan's WholeStageCodegen stage, so it costs ~0 extra
+passes at any data size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MODE_ENFORCE, Config
+from ..functions.ottl import compile_ottl, value_expr_never_null
+from ..functions.scalars import attr
+
+__all__ = ["compile_rule_columns", "apply_rules", "CompiledRuleCols"]
+
+
+@dataclass
+class CompiledRuleCols:
+    rule_id: str
+    predicate: Column
+    operation_name: Column
+    operation_type: Column | None
+
+
+def compile_rule_columns(
+    cfg: Config,
+    attrs_col: Column,
+    name_col: Column,
+    kind_col: Column,
+) -> list[CompiledRuleCols]:
+    """Compile every validated rule into (predicate, name, type) Columns.
+
+    Driver-side, once per job — the Spark analogue of compileRules
+    (processor.go:81-118).  Rules arrive priority-sorted from
+    Config.validate() (config.go:156-158)."""
+    out: list[CompiledRuleCols] = []
+    for rule in cfg.span_processing.rules:
+        pred = compile_ottl(rule.condition, attrs_col, name_col)
+        if rule.span_kind:
+            # processor.go:215-228 — empty list means all kinds.
+            pred = kind_col.isin(list(rule.span_kind)) & pred
+        name_expr = compile_ottl(rule.operation_name, attrs_col, name_col).cast("string")
+        if not value_expr_never_null(rule.operation_name):
+            # name-expr error => skip THIS rule and continue the cascade
+            # (processor.go:244-250).
+            pred = pred & name_expr.isNotNull()
+        type_expr = None
+        if rule.operation_type:
+            type_expr = compile_ottl(rule.operation_type, attrs_col, name_col).cast("string")
+        out.append(CompiledRuleCols(rule.id, pred, name_expr, type_expr))
+    return out
+
+
+def apply_rules(
+    df: DataFrame,
+    cfg: Config,
+    attrs_col: str = "attrs",
+    name_col: str = "name",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Apply the processor to a span-shaped DataFrame (see module docstring)."""
+    if not cfg.enabled or not cfg.span_processing.enabled:
+        # processor.go:122-124 / 146-148: disabled => identity, but keep the
+        # output schema stable for downstream stages.
+        return df.withColumns(
+            {
+                "rule_id": F.lit(None).cast("string"),
+                "operation_name": F.lit(None).cast("string"),
+                "operation_type": F.lit(None).cast("string"),
+                "name_original": F.lit(None).cast("string"),
+            }
+        )
+
+    sp = cfg.span_processing
+    attrs = F.col(attrs_col)
+    name = F.col(name_col)
+    kind = F.col(kind_col)
+
+    compiled = compile_rule_columns(cfg, attrs, name, kind)
+
+    # One struct-valued CASE chain => each rule predicate is evaluated at most
+    # once per row and evaluation stops at the first match (lazy CASE WHEN),
+    # mirroring the `break` at processor.go:322.
+    no_match = F.lit(None).cast(
+        "struct<rule_id:string,op_name:string,op_type:string>"
+    )
+    cascade = no_match
+    for c in reversed(compiled):
+        hit = F.struct(
+            F.lit(c.rule_id).alias("rule_id"),
+            c.operation_name.alias("op_name"),
+            (c.operation_type if c.operation_type is not None else F.lit(None).cast("string")).alias("op_type"),
+        )
+        cascade = F.when(c.predicate, hit).otherwise(cascade)
+
+    # Skip-guard (processor.go:202-206): pre-existing operation.name attribute
+    # short-circuits the whole cascade.
+    guarded = F.when(attr(attrs, sp.operation_name_attribute).isNull(), cascade)
+
+    df = df.withColumn("__match", guarded)
+    m = F.col("__match")
+    matched = m.isNotNull()
+    op_name = m["op_name"]
+    # Go: a type-expr eval error leaves operationType == "" and the attribute
+    # unset (processor.go:256-262, 269-274); NULL and "" are both "unset".
+    op_type = m["op_type"]
+    type_settable = matched & op_type.isNotNull() & (op_type != "")
+
+    enforce = sp.mode == MODE_ENFORCE
+
+    new_name = F.when(matched, op_name).otherwise(name) if enforce else name
+    name_original = (
+        F.when(F.lit(sp.preserve_original_name) & matched & (name != op_name), name)
+        if enforce
+        else F.lit(None).cast("string")
+    )
+
+    # Attribute-map update: add operation.name (guard guarantees the key is
+    # absent on matched rows), operation.type set-if-absent, and name.original
+    # in enforce+preserve when the name changed.  map_concat is safe from
+    # duplicate keys by construction.
+    additions = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(
+                    F.lit(sp.operation_name_attribute).alias("key"),
+                    F.when(matched, op_name).alias("value"),
+                ),
+                F.struct(
+                    F.lit(sp.operation_type_attribute).alias("key"),
+                    F.when(
+                        type_settable & attr(attrs, sp.operation_type_attribute).isNull(),
+                        op_type,
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit(sp.original_name_attribute).alias("key"),
+                    (
+                        F.when(
+                            F.lit(sp.preserve_original_name) & matched & (name != op_name),
+                            name,
+                        )
+                        if enforce
+                        else F.lit(None).cast("string")
+                    ).alias("value"),
+                ),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    empty_map = F.create_map().cast("map<string,string>")
+    new_attrs = F.map_concat(F.coalesce(attrs, empty_map), additions)
+
+    return (
+        df.withColumns(
+            {
+                "rule_id": m["rule_id"],
+                "operation_name": F.when(matched, op_name),
+                "operation_type": F.when(matched, op_type),
+                name_col: new_name,
+                "name_original": name_original,
+                attrs_col: new_attrs,
+            }
+        ).drop("__match")
+    )

@@ -1,0 +1,109 @@
+"""Route stage: fan-out of the normalized stream to per-sink tables.
+
+Reference analogue: the collector service wiring one processed stream into
+multiple exporters (config.yaml:218-232, S4) and the batch processor sizing
+batches (config.yaml:12-14, S5).
+
+Two write strategies:
+
+  * ``write_routed_single_pass`` (default): ONE job writes every sink —
+    ``partitionBy(sink, warc_day, lang)`` — so the expensive upstream
+    (pandas-UDF extraction) runs exactly once and nothing is cached.  At
+    100 TB this is the only sane plan: no persist of the full dataset, no
+    per-sink recompute; each sink is a partition subtree (≡ an Iceberg table
+    partitioned by days(warc_ts), lang).
+  * ``write_per_sink_tables``: persist + one filtered write per sink, for
+    genuinely separate destination tables (Iceberg ``writeTo`` in prod).
+
+Skew: domains are Zipf-distributed (one hot domain ~50% of rows), so any
+repartition keyed by domain alone would put half the data in one task.
+``salted_repartition`` adds a deterministic salt derived from xxhash64(url) —
+reproducible across runs, unlike rand() — bounding the largest task at
+~1/salt_buckets of the hot key (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "SINKS",
+    "assign_sink",
+    "route_predicates",
+    "salted_repartition",
+    "write_routed_single_pass",
+    "write_per_sink_tables",
+]
+
+SINKS = ["sink_http", "sink_grpc", "sink_db", "sink_messaging", "sink_other"]
+
+
+def sink_expr(op_type: Column, rule_id: Column) -> Column:
+    """Disjoint, exhaustive sink assignment (FIXTURES.md §5): every row gets
+    exactly one sink, so per-sink counts sum to the total (routed-row
+    equality)."""
+    return (
+        F.when(rule_id.isin("database_queries", "database_operations"), F.lit("sink_db"))
+        .when(op_type.isin("http", "http_client"), F.lit("sink_http"))
+        .when(op_type.isin("grpc", "grpc_client"), F.lit("sink_grpc"))
+        .when(op_type == "messaging", F.lit("sink_messaging"))
+        .otherwise(F.lit("sink_other"))
+    )
+
+
+def assign_sink(df: DataFrame) -> DataFrame:
+    return df.withColumn("sink", sink_expr(F.col("operation_type"), F.col("rule_id")))
+
+
+def route_predicates() -> dict[str, Column]:
+    """Per-sink filter predicates for the separate-tables strategy."""
+    s = sink_expr(F.col("operation_type"), F.col("rule_id"))
+    return {sink: s == sink for sink in SINKS}
+
+
+def salted_repartition(
+    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16, salt_source: str = "url"
+) -> DataFrame:
+    """Repartition on (key, salt) where salt = xxhash64(salt_source) %
+    salt_buckets — deterministic (seed-free rand() would break resume
+    replays), spreads a hot key over salt_buckets tasks."""
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.col(key), salt)
+
+
+def _with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn("warc_day", F.to_date(F.col("warc_ts")))
+
+
+def write_routed_single_pass(df: DataFrame, base_path: str, mode: str = "overwrite") -> None:
+    """One job, all sinks: partition layout sink=/warc_day=/lang=.
+
+    Equivalent Iceberg DDL (prod): CREATE TABLE sink_x ... PARTITIONED BY
+    (days(warc_ts), lang); here each sink subtree is one such table.
+    """
+    (
+        _with_day(assign_sink(df))
+        .write.mode(mode)
+        .partitionBy("sink", "warc_day", "lang")
+        .parquet(base_path)
+    )
+
+
+def write_per_sink_tables(df: DataFrame, base_path: str, mode: str = "overwrite") -> dict[str, str]:
+    """Separate-tables strategy: persist the normalized frame once, then one
+    filtered write per sink (the Iceberg ``df.filter(pred).writeTo(tbl)``
+    shape).  Avoids recomputing the extraction UDF per sink (SURVEY.md §4
+    'the one place naive Spark recomputes')."""
+    routed = _with_day(assign_sink(df)).persist()
+    paths = {}
+    try:
+        for sink, pred in route_predicates().items():
+            path = f"{base_path}/{sink}"
+            routed.filter(F.col("sink") == sink).drop("sink").write.mode(mode).partitionBy(
+                "warc_day", "lang"
+            ).parquet(path)
+            paths[sink] = path
+    finally:
+        routed.unpersist()
+    return paths

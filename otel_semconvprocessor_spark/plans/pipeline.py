@@ -1,0 +1,118 @@
+"""The end-to-end batch pipeline: parse -> enrich -> route -> aggregate.
+
+Mirrors the reference's receiver -> [semconv, batch] -> exporters pipeline
+(config.yaml:215-232) as a single declarative Spark plan:
+
+    pages (Iceberg/parquet scan)
+      -> extract_pages            (Arrow-batched pandas UDF, one pass)
+      -> apply_semconv_mappings   (broadcast-joined rename/move/copy/delete)
+      -> insert_attrs_if_absent   (resource processor, config.yaml:17-27)
+      -> join_dims                (broadcast lookups)
+      -> apply_rules              (compiled CASE cascade — processor.go parity)
+      -> write single-pass, partitioned by (sink, warc_day, lang)
+      -> metrics from a pruned re-scan of the written sinks
+
+Design for 100 TB: exactly ONE pass over the raw bytes (the pandas UDF runs
+once — the sink fan-out happens inside the same write job); metrics re-scan
+the written columnar output reading only 5 narrow columns (no persist of the
+full dataset); all joins are broadcast; the only wide operation is the
+write's hash partitioning.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import Config, reference_config
+from ..operators.enrich import (
+    apply_semconv_mappings,
+    default_semconv_mappings,
+    insert_attrs_if_absent,
+    join_dims,
+    lang_dim,
+    mappings_table,
+)
+from ..operators.extract import extract_pages, extract_pages_native
+from ..operators.metrics import MetricsManifest, metrics_manifest
+from ..operators.route import write_routed_single_pass
+from ..operators.rules import apply_rules
+
+__all__ = ["PipelineResult", "build_normalized", "run_pipeline", "RESOURCE_ATTRS"]
+
+# config.yaml:17-27
+RESOURCE_ATTRS = {
+    "collector.name": "otel-semconv-spark",
+    "collector.version": "0.1.0",
+    "telemetry.source": "internal",
+}
+
+
+@dataclass
+class PipelineResult:
+    sink_path: str
+    metrics: MetricsManifest
+    rows: int
+    duration_sec: float
+
+
+def build_normalized(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: Config | None = None,
+    *,
+    extractor: str = "pandas",
+    with_mappings: bool = True,
+    with_dims: bool = True,
+) -> DataFrame:
+    """The full transform plan, unexecuted (lazy)."""
+    cfg = cfg or reference_config()
+    extract = extract_pages if extractor == "pandas" else extract_pages_native
+    df = extract(pages)
+    if with_mappings:
+        df = apply_semconv_mappings(df, mappings_table(spark, default_semconv_mappings()))
+    df = insert_attrs_if_absent(df, RESOURCE_ATTRS)
+    if with_dims:
+        df = join_dims(df, (lang_dim(spark), "lang"))
+    return apply_rules(df, cfg)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_path: str,
+    cfg: Config | None = None,
+    *,
+    run_id: str = "run-0",
+    extractor: str = "pandas",
+    approx_distinct: bool = False,
+) -> PipelineResult:
+    cfg = cfg or reference_config()
+    start = time.time()
+    normalized = build_normalized(spark, pages, cfg, extractor=extractor)
+    sink_path = f"{out_path}/sinks"
+    write_routed_single_pass(normalized, sink_path)
+
+    # aggregate stage over the written, partitioned output: reads only the
+    # pruned columns it needs (rule_id, operation_type, name, name_original,
+    # sink) — scan cost is a fraction of the raw data even at 10^12 rows.
+    try:
+        routed = spark.read.parquet(sink_path)
+    except Exception:
+        # empty input -> partitionBy wrote no files; keep the schema stable
+        from ..operators.route import assign_sink
+
+        schema = assign_sink(normalized).withColumn("warc_day", F.to_date("warc_ts")).schema
+        routed = spark.createDataFrame([], schema)
+    duration = time.time() - start
+    metrics = metrics_manifest(
+        routed, cfg, run_id=run_id, duration_ms=duration * 1000.0, approx=approx_distinct
+    )
+    rows = metrics.summary.select("spans_processed").collect()[0][0]
+    metrics.summary.write.mode("overwrite").parquet(f"{out_path}/metrics/summary")
+    metrics.rule_effectiveness.write.mode("overwrite").parquet(f"{out_path}/metrics/rule_effectiveness")
+    metrics.sink_counts.write.mode("overwrite").parquet(f"{out_path}/metrics/sink_counts")
+    return PipelineResult(sink_path, metrics, rows, time.time() - start)

@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines: exact, normalized,
+MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+
+Scale design (10^12 docs):
+  * exact / normalized dedup: one hash-keyed groupBy (single shuffle on a
+    64/128-bit key, near-uniform -> no skew).
+  * MinHash LSH: shingle -> signature (pure map work) -> explode into b bands
+    (row growth = b, bounded) -> groupBy band key (uniform shuffle) -> pairs
+    only within same-band buckets -> exact Jaccard verify on the candidates.
+    Candidate count is data-dependent but banding keeps it ~linear for
+    realistic dup rates; a `max_bucket` guard drops degenerate buckets.
+  * SimHash: 64-bit signature from token bit votes, all expression work;
+    near-dup via banding on 16-bit chunks + Hamming verify.
+  * n-gram Jaccard all-pairs is quadratic — only for small candidate sets;
+    the LSH path is the scale path (tested for recall against it).
+
+Everything is md5-keyed -> DuckDB-oracle comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import minhash_signature, word_shingles, ws_tokens
+
+__all__ = [
+    "normalize_text",
+    "exact_dedup_groups",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for near-exact dedup: lowercase, strip non-alnum to
+    spaces, collapse whitespace."""
+    t = F.lower(_as_col(text))
+    t = F.regexp_replace(t, r"[^a-z0-9]+", " ")
+    return F.trim(t)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       normalized: bool = False) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    smallest id as the deterministic keeper and the duplicate count."""
+    key = normalize_text(text_col) if normalized else _as_col(text_col)
+    return (
+        df.select(F.md5(key).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalized: bool = False) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content."""
+    key = normalize_text(text_col) if normalized else _as_col(text_col)
+    keepers = (
+        df.select(F.md5(key).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keepers, on=id_col, how="leftsemi")
+
+
+def _pair_join(left: DataFrame, right: DataFrame, on, id_col: str) -> DataFrame:
+    a = left.alias("a")
+    b = right.alias("b")
+    return a.join(b, on=on).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct elements, written with filter/contains so
+    the same formula runs verbatim in the DuckDB oracle."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.filter(da, lambda x: F.array_contains(db, x)))
+    union = F.size(da) + F.size(db) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs with exact-Jaccard verification.
+
+    shingle -> minhash(num_hashes) -> band (rows = num_hashes/bands) ->
+    bucket-join -> verify.  Returns (id_a, id_b, jaccard >= threshold).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_k).alias("__sh"),
+        minhash_signature(word_shingles(text_col, shingle_k), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.try_element_at(F.col("__sig"), F.lit(b * rows_per_band + r + 1))
+                                       for r in range(rows_per_band)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__sh", F.col("__band.band").alias("band"), F.col("__band.band_key").alias("band_key"))
+
+    # degenerate-bucket guard: a band key shared by >max_bucket docs would
+    # blow up the pair join quadratically; count and drop those buckets
+    bucket_sizes = banded.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("__n") > max_bucket)),
+        on=["band", "band_key"],
+        how="left_anti",
+    )
+
+    cand = (
+        _pair_join(banded, banded, on=["band", "band_key"], id_col=id_col)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text: Column | str, tokens: Column | None = None) -> Column:
+    """64-bit SimHash as a 64-char '0'/'1' string (portable across engines —
+    no unsigned-int pitfalls).  Token hash = xxhash64; bit i votes +1/-1 by
+    the i-th bit; signature bit = majority."""
+    toks = tokens if tokens is not None else ws_tokens(text)
+
+    def bit_votes(t: Column) -> Column:
+        # statically unrolled: shiftright requires a literal shift amount
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, b: a + b),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+
+
+def hamming_bits(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length '0'/'1' strings."""
+    za = F.split(a, "")
+    zb = F.split(b, "")
+    return F.size(F.filter(F.zip_with(za, zb, lambda x, y: x != y), lambda d: d))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 6,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``chunks``
+    16-bit substrings (two sigs within Hamming<=chunks-1 per band pigeonhole
+    share at least one identical chunk when max_hamming < chunks), bucket-join
+    on (chunk_idx, chunk_value), verify exact Hamming."""
+    width = 64 // chunks
+    sigd = df.select(F.col(id_col), simhash64(text_col).alias("__sig"))
+    banded = sigd.select(
+        id_col,
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring("__sig", c * width + 1, width).alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__sig", F.col("__b.chunk").alias("chunk"), F.col("__b.chunk_val").alias("chunk_val"))
+    cand = (
+        _pair_join(banded, banded, on=["chunk", "chunk_val"], id_col=id_col)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming_bits(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard (quadratic — small inputs / verification
+    baseline only; the scale path is minhash_lsh_pairs)."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh"))
+    pairs = _pair_join(sh, sh, on=F.lit(True), id_col=id_col).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

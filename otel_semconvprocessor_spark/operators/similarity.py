@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+  * ``topk_brute_force`` — exact cosine top-k: broadcast the (small) query
+    set against the corpus, score with native zip_with/aggregate expressions,
+    rank per query.  This is the correctness baseline and is already the
+    right plan when |queries| is small: the corpus is scanned ONCE, never
+    shuffled; the only shuffle is the per-query top-k (k rows per partition
+    per query after partial aggregation).
+  * ``topk_brute_force_pandas`` — same semantics via an Arrow-batched
+    numpy matmul (vectorized; faster for wide vectors / many queries).
+  * ``lsh_hyperplane_buckets`` / ``topk_lsh`` — the scale path: deterministic
+    random-hyperplane signatures (hash-seeded, no rand()) bucket the corpus;
+    queries probe their own bucket (+ optional 1-bit flips), so each query
+    scores ~corpus/2^bits candidates instead of everything.
+
+Determinism: scores are computed in float64 and ties broken by id; the
+hyperplane matrix derives from md5, so every run and engine sees the same
+planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "topk_brute_force",
+    "topk_brute_force_pandas",
+    "hyperplanes",
+    "lsh_signature",
+    "topk_lsh",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def topk_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: corpus x broadcast(queries); returns
+    (query_id, vec_id, score, rank) with deterministic id tie-breaks."""
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+    )
+    scorer = cosine if metric == "cosine" else dot
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        query_id,
+        id_col,
+        scorer(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    return _rank_topk(scored, k, query_id, id_col)
+
+
+def topk_brute_force_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Same result via one numpy matmul per Arrow batch: queries are collected
+    to the driver (small by contract) and closed over; the corpus streams
+    through mapInPandas without shuffle."""
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[id_col] for r in qrows]
+    q_mat = [list(map(float, r[vec_col])) for r in qrows]
+
+    out_schema = f"{query_id} long, {id_col} long, score double"
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_mat, dtype=np.float64)  # (Q, D)
+        qn = np.linalg.norm(qm, axis=1)
+        for pdf in batches:
+            cm = np.asarray([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
+            if len(cm) == 0:
+                continue
+            cn = np.linalg.norm(cm, axis=1)
+            denom = np.outer(cn, qn)
+            sims = np.divide(cm @ qm.T, denom, out=np.zeros_like(denom), where=denom > 0)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(q_ids, n),
+                    id_col: list(pdf[id_col]) * len(q_ids),
+                    "score": sims.T.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
+    return _rank_topk(scored, k, query_id, id_col)
+
+
+def hyperplanes(dim: int, bits: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (i,j) from md5 —
+    reproducible across runs, engines and languages (no RNG state)."""
+    planes = []
+    for i in range(bits):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ~uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string, one char per hyperplane."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in row])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for row in planes
+    ]
+    return F.concat(*bits)
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k via the standard L-table hyperplane-LSH construction:
+    ``tables`` independent signatures bucket the corpus; each query probes its
+    own bucket (+ ``multiprobe`` 1-bit-flip neighbors) in EVERY table and the
+    candidate sets union.  Tune (bits up = fewer candidates, tables/probes up
+    = higher recall); recall is regression-tested against topk_brute_force.
+
+    Scale shape: the corpus is mapped once per run (signatures are pure
+    expressions), the tiny probe set broadcasts, and only candidate rows are
+    scored — per-query cost ~ tables * corpus / 2^bits instead of |corpus|.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    sig_tagged = []
+    probe_tagged = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed=f"lsh-{t}")
+        sig = lsh_signature(F.col(vec_col), planes)
+        sig_tagged.append(F.concat(F.lit(f"{t}:"), sig))
+        qsig = lsh_signature(F.col(vec_col), planes)
+        probes = [qsig]
+        for i in range(min(multiprobe, bits)):
+            probes.append(
+                F.concat(
+                    F.substring(qsig, 1, i),
+                    F.when(F.substring(qsig, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.substring(qsig, i + 2, bits - i - 1),
+                )
+            )
+        probe_tagged.extend(F.concat(F.lit(f"{t}:"), p) for p in probes)
+
+    c = corpus.select(
+        id_col, vec_col, F.explode(F.array(*sig_tagged)).alias("__sig")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(F.array(*probe_tagged)).alias("__sig"),
+        )
+        .dropDuplicates([query_id, "__sig"])
+    )
+    cand = (
+        c.join(F.broadcast(q), on="__sig")
+        .select(query_id, id_col, "__qvec", F.col(vec_col).alias("__cvec"))
+        .dropDuplicates([query_id, id_col])
+        .select(query_id, id_col, cosine(F.col("__cvec"), F.col("__qvec")).alias("score"))
+    )
+    return _rank_topk(cand, k, query_id, id_col)

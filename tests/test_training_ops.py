@@ -1,0 +1,163 @@
+"""Tests for the training-data operators: text analysis, dedup (exact /
+MinHash-LSH / SimHash / n-gram Jaccard), and embedding similarity search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_semconvprocessor_spark.operators.dedup import (
+    dedup_exact,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash64,
+    simhash_pairs,
+)
+from otel_semconvprocessor_spark.operators.similarity import (
+    topk_brute_force,
+    topk_brute_force_pandas,
+    topk_lsh,
+)
+from otel_semconvprocessor_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    minhash_signature,
+    quality_features,
+    regex_token_count,
+    word_shingles,
+    ws_token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "The quick brown fox; jumps over the lazy dog!"),  # normalized dup of 0
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 0
+    (4, "completely different content about spark pipelines here"),
+    (5, "der schnelle braune fuchs und der faule hund ist nicht da"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_counts(spark, docs):
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", ws_token_count("text").alias("ws"), regex_token_count("text").alias("rx")
+    ).collect()}
+    assert rows[0]["ws"] == 9
+    assert rows[6]["ws"] == 0
+    assert rows[2]["rx"] == 11  # 9 words + ';' + '!'
+
+
+def test_quality_features(spark, docs):
+    r = docs.filter("doc_id = 0").select(quality_features("text").alias("q")).collect()[0]["q"]
+    assert r["n_chars"] == 43
+    assert r["n_tokens"] == 9
+    assert r["stopword_ratio"] == pytest.approx(2 / 9)  # two 'the' hits
+    assert r["punct_ratio"] == 0.0
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["g"] for r in docs.select("doc_id", lang_id("text").alias("g")).collect()}
+    assert got[0] == "en"
+    assert got[5] == "de"
+    assert got[6] == "und"
+
+
+def test_shingles_and_fingerprint(spark, docs):
+    r = docs.filter("doc_id = 0").select(
+        word_shingles("text", 3).alias("sh"), doc_fingerprint("text").alias("fp")
+    ).collect()[0]
+    assert r["sh"][0] == "the quick brown"
+    assert len(r["sh"]) == 7
+    assert len(r["fp"]) == 32  # md5 hex
+    # identical docs -> identical fingerprints
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[4]
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = docs.filter("doc_id = 0").select(
+        minhash_signature(word_shingles("text", 3), 8).alias("s")
+    ).collect()[0]["s"]
+    assert len(sig) == 8 and all(len(x) == 32 for x in sig)
+    # salted hash families must actually differ (guards the HOF-lambda-arity
+    # pitfall where every component collapsed to one salt)
+    assert len(set(sig)) > 1
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs).collect()
+    dup_group = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup_group) == 1 and dup_group[0]["keeper_id"] == 0 and dup_group[0]["n_docs"] == 2
+    kept = dedup_exact(docs)
+    assert kept.count() == len(DOCS) - 1
+    assert kept.filter("doc_id = 1").count() == 0
+
+
+def test_normalized_dedup(spark, docs):
+    groups = exact_dedup_groups(docs, normalized=True).collect()
+    big = [g for g in groups if g["n_docs"] > 1]
+    assert len(big) == 1 and big[0]["n_docs"] == 3  # docs 0,1,2 collapse
+    norm = docs.select(normalize_text("text").alias("n")).filter(F.col("n").contains("fox")).distinct()
+    assert norm.count() == 2  # canonical fox sentence + sleepy variant
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup always survives banding
+    assert (0, 4) not in pairs
+    # LSH candidates must be a subset of the all-pairs ground truth
+    truth = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs <= truth
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert len(sigs[0]) == 64 and set(sigs[0]) <= {"0", "1"}
+    assert sigs[0] == sigs[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0  # identical docs always share every chunk
+    # similar docs have small hamming distance; dissimilar docs a large one
+    ham_03 = sum(x != y for x, y in zip(sigs[0], sigs[3]))
+    ham_04 = sum(x != y for x, y in zip(sigs[0], sigs[4]))
+    assert ham_03 < ham_04
+    # banding guarantee: every pair with hamming <= chunks-1 is found
+    assert all(h <= 16 for h in pairs.values())
+
+
+def test_topk_brute_force_vs_pandas(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = topk_brute_force(emb, queries, k=5)
+    b = topk_brute_force_pandas(emb, queries, k=5)
+    ra = [(r["query_id"], r["rank"], r["vec_id"], r["score"]) for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["rank"], r["vec_id"], r["score"]) for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+    # self-similarity first
+    assert all(q == v for q, rank, v, _ in ra if rank == 1)
+
+
+def test_topk_lsh_recall(spark, sf01_dir):
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = topk_brute_force(emb, queries, k=5)
+    approx = topk_lsh(emb, queries, k=5, bits=4, tables=8, multiprobe=1)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall  # L-table union keeps most true neighbors
+    # every query at least finds itself
+    assert all((q, q) in a for q in range(10))

@@ -14,11 +14,13 @@ Family layout (b = doc_id % 100) covers every reference rule
 
     [0,10)   http_server_route   server   method + http.route
     [10,28)  http_server_method  server   method only
-    [28,38)  grpc_server         server   rpc.system/service/method
+    [28,33)  grpc_server         server   rpc.system/service/method
+    [33,38)  grpc_client         client   rpc.system/service/method
     [38,48)  http_client         client   method; url.template on even doc_id
     [48,58)  db_query            client   db.statement (ParseSQL corpus) + db.system
     [58,63)  db_operation        client   db.operation + collection; db.system on even
-    [63,68)  messaging           prod/cons 4 attr variants -> all 5 messaging rules
+    [63,68)  messaging           prod/cons one variant per b -> all 5 messaging rules
+             (doc_id parity == b parity, so kind aligns with the legacy ops)
     [68,73)  graphql             server   graphql.operation.type/name
     [73,78)  faas                internal faas.document.collection/operation
     [78,83)  http_path           internal method + url.path (NormalizePath corpus)
@@ -71,7 +73,7 @@ SELECT
   doc_id,
   b,
   CASE
-    WHEN b < 38 THEN 'server'
+    WHEN b < 33 THEN 'server'
     WHEN b < 63 THEN 'client'
     WHEN b < 68 THEN (CASE WHEN doc_id % 2 = 0 THEN 'producer' ELSE 'consumer' END)
     WHEN b < 73 THEN 'server'
@@ -116,13 +118,10 @@ SELECT
       ELSE 'oteldemo.CurrencyService' END) END AS rpc_service,
   CASE WHEN b >= 28 AND b < 38 THEN (CASE doc_id % 3
       WHEN 0 THEN 'GetCart' WHEN 1 THEN 'ListProducts' ELSE 'Convert' END) END AS rpc_method,
-  CASE WHEN b >= 63 AND b < 68 AND doc_id % 4 = 0
-       THEN (CASE WHEN doc_id % 2 = 0 THEN 'publish' ELSE 'process' END) END AS msg_op_type,
-  CASE WHEN b >= 63 AND b < 68 AND doc_id % 4 = 1 THEN 'send' END AS msg_op_name,
-  CASE WHEN b >= 63 AND b < 68 AND doc_id % 4 = 2
-       THEN (CASE WHEN doc_id % 2 = 0 THEN 'publish' ELSE 'process' END) END AS msg_operation,
-  CASE WHEN b >= 63 AND b < 68 AND doc_id % 4 = 3
-       THEN (CASE WHEN doc_id % 2 = 0 THEN 'kafka' ELSE 'rabbitmq' END) END AS msg_system,
+  CASE WHEN b = 63 THEN 'process' END AS msg_op_type,
+  CASE WHEN b = 67 THEN 'send' END AS msg_op_name,
+  CASE WHEN b = 64 THEN 'publish' WHEN b = 65 THEN 'process' END AS msg_operation,
+  CASE WHEN b = 66 THEN 'kafka' END AS msg_system,
   CASE WHEN b >= 63 AND b < 68
        THEN (CASE doc_id % 3 WHEN 0 THEN 'orders' WHEN 1 THEN 'payments' ELSE 'emails' END) END AS msg_dest,
   CASE WHEN b >= 68 AND b < 73 THEN (CASE doc_id % 3 WHEN 2 THEN 'mutation' ELSE 'query' END) END AS gql_type,

@@ -203,8 +203,11 @@ def _q_dedup_normalized_groups(spark, sf_dir):
 def _q_minhash_signatures(spark, sf_dir):
     """Training op: 4-hash MinHash signature per document."""
     d = _docs(spark, sf_dir)
-    sig = minhash_signature(word_shingles("text", 3), 4)
-    return d.select(
+    # stage shingles as a projection so the salted hash families don't
+    # re-evaluate the shingling inside each lambda (no cross-lambda CSE)
+    staged = d.select("doc_id", word_shingles("text", 3).alias("__sh"))
+    sig = minhash_signature(F.col("__sh"), 4)
+    return staged.select(
         "doc_id",
         *[F.try_element_at(sig, F.lit(i + 1)).alias(f"sig_{i}") for i in range(4)],
     )

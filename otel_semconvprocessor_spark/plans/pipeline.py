@@ -89,10 +89,16 @@ def run_pipeline(
     run_id: str = "run-0",
     extractor: str = "pandas",
     approx_distinct: bool = False,
+    keep_raw: bool = False,
 ) -> PipelineResult:
     cfg = cfg or reference_config()
     start = time.time()
     normalized = build_normalized(spark, pages, cfg, extractor=extractor)
+    if not keep_raw:
+        # sinks carry NORMALIZED records, not raw payloads — the reference's
+        # exporters write processed spans, not the original request bytes.
+        # At 10^12 rows the raw html/text would dominate shuffle + sink IO.
+        normalized = normalized.drop("html", "text")
     sink_path = f"{out_path}/sinks"
     write_routed_single_pass(normalized, sink_path)
 

@@ -1,0 +1,71 @@
+"""Physical-plan quality gates: the properties that keep the pipeline viable
+at 100 TB — column pruning on the metrics re-scan, broadcast-only joins in the
+transform chain, bounded file counts from the routed write."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_semconvprocessor_spark.config import reference_config
+from otel_semconvprocessor_spark.operators.metrics import cardinality_summary, rule_effectiveness
+from otel_semconvprocessor_spark.plans.pipeline import build_normalized, run_pipeline
+from otel_semconvprocessor_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def sink_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans") / "out")
+    run_pipeline(spark, generate_pages(spark, 400), out, run_id="plans")
+    return f"{out}/sinks"
+
+
+def test_metrics_scan_prunes_columns(spark, sink_path):
+    """The aggregate stage must read only the narrow columns it needs — at
+    10^12 rows re-scanning html/text for a count would be catastrophic."""
+    routed = spark.read.parquet(sink_path)
+    cfg = reference_config()
+    plan = rule_effectiveness(routed, cfg)._jdf.queryExecution().executedPlan().toString()
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_line, plan
+    assert "html" not in schema_line[0] and "text" not in schema_line[0]
+    assert "attrs" not in schema_line[0]
+
+    plan2 = cardinality_summary(routed, cfg)._jdf.queryExecution().executedPlan().toString()
+    schema_line2 = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
+    assert "html" not in schema_line2[0] and "attrs" not in schema_line2[0]
+
+
+def test_transform_chain_has_no_sort_merge_join(spark):
+    """Every join in the normalize chain is small-side broadcast."""
+    pages = generate_pages(spark, 200)
+    plan = (
+        build_normalized(spark, pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # mapping table + lang dim
+
+
+def test_routed_write_file_count_bounded(spark, sink_path):
+    """O(partition combos), not O(tasks x combos)."""
+    n_files = sum(
+        1 for _, _, files in os.walk(sink_path) for f in files if f.endswith(".parquet")
+    )
+    combos = (
+        spark.read.parquet(sink_path)
+        .select("sink", "warc_day", "lang").distinct().count()
+    )
+    assert n_files <= combos * 2
+
+
+def test_predicate_pushdown_to_sink_scan(spark, sink_path):
+    """Partition filters prune directories: a single-sink query must not list
+    other sinks' files."""
+    routed = spark.read.parquet(sink_path)
+    q = routed.filter((F.col("sink") == "sink_http") & (F.col("lang") == "en"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition filters must mention both pruned columns
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "sink" in pf and "lang" in pf

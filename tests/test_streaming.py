@@ -1,0 +1,86 @@
+"""Structured Streaming tests: batch/stream parity, exactly-once incremental
+processing across restarts, and the watermarked windowed aggregation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_semconvprocessor_spark.plans.pipeline import build_normalized
+from otel_semconvprocessor_spark.sources.pages import generate_pages
+from otel_semconvprocessor_spark.streaming.pipeline import (
+    start_streaming_pipeline,
+    streaming_normalized,
+    stream_pages,
+    windowed_rule_counts,
+)
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def staged_pages(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages_in"))
+    generate_pages(spark, N).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_matches_batch(spark, staged_pages, tmp_path):
+    out = str(tmp_path / "out")
+    q = start_streaming_pipeline(spark, staged_pages, out)
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{out}/sinks")
+    assert got.count() == N
+
+    batch = build_normalized(spark, spark.read.parquet(staged_pages))
+    b = {r["url"]: (r["rule_id"], r["name"]) for r in batch.select("url", "rule_id", "name").collect()}
+    s = {r["url"]: (r["rule_id"], r["name"]) for r in got.select("url", "rule_id", "name").collect()}
+    assert b == s
+
+
+def test_streaming_incremental_exactly_once(spark, staged_pages, tmp_path):
+    out = str(tmp_path / "out2")
+    q = start_streaming_pipeline(spark, staged_pages, out)
+    q.awaitTermination(300)
+    first = spark.read.parquet(f"{out}/sinks").count()
+    assert first == N
+
+    # restart with NO new files: nothing reprocessed
+    q2 = start_streaming_pipeline(spark, staged_pages, out)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/sinks").count() == N
+
+    # add a new batch of files: only the delta is processed
+    generate_pages(spark, 100, seed=77).write.mode("append").parquet(staged_pages)
+    q3 = start_streaming_pipeline(spark, staged_pages, out)
+    q3.awaitTermination(300)
+    final = spark.read.parquet(f"{out}/sinks")
+    assert final.count() == N + 100
+    assert final.select("url").distinct().count() == N + 100
+
+
+def test_windowed_rule_counts_stream(spark, staged_pages):
+    normalized = streaming_normalized(spark, stream_pages(spark, staged_pages))
+    agg = windowed_rule_counts(normalized)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rule_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from rule_counts").collect()
+    assert sum(r["n"] for r in rows) >= N  # every page lands in some window
+    days = {r["day"] for r in rows}
+    assert len(days) >= 3  # generator spreads warc_ts over >= 3 days
+    # streaming counts equal batch counts per rule
+    batch = (
+        build_normalized(spark, spark.read.parquet(staged_pages))
+        .groupBy("rule_id").count().collect()
+    )
+    batch_counts = {r["rule_id"]: r["count"] for r in batch}
+    stream_counts = {}
+    for r in rows:
+        stream_counts[r["rule_id"]] = stream_counts.get(r["rule_id"], 0) + r["n"]
+    # staged_pages may have been appended to by the previous test (module
+    # fixture is shared) — compare against the current directory content
+    assert stream_counts == batch_counts

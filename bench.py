@@ -41,7 +41,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
 LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
 
 
@@ -76,20 +76,21 @@ def _burn(n: int) -> int:
 def _session(cores: int):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(2 * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
-        # single shared virtio disk is a one-box artifact (a cluster has
-        # per-executor disks); shuffle + bench IO go to tmpfs so the scaling
-        # measurement reflects compute, with 126G of RAM available
-        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    # single shared virtio disk is a one-box artifact (a cluster has
+    # per-executor disks); shuffle IO goes to tmpfs when available so the
+    # scaling measurement reflects compute
+    if os.path.isdir("/dev/shm"):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
+    return b.getOrCreate()
 
 
 def run_pipeline_level(cores: int, rows: int, out_dir: str) -> dict:
@@ -119,7 +120,7 @@ def run_pipeline_level(cores: int, rows: int, out_dir: str) -> dict:
             return time.time() - t0
 
         cold = once()  # pays codegen compile, worker pool growth, JIT
-        warm = min(once(), once())  # steady state (what a 100TB job runs at)
+        warm = once()  # steady state (what a 100TB job runs at)
         return {
             "cores": cores,
             "rows": rows,

@@ -572,14 +572,17 @@ FROM ev""",
        list_min(list_transform({_SHINGLES}, s -> md5(s || '#2'))) AS sig_2,
        list_min(list_transform({_SHINGLES}, s -> md5(s || '#3'))) AS sig_3
 FROM documents""",
+        # CAST the integer sums: DuckDB sum(BIGINT) returns HUGEINT, which the
+        # driver's pandas bridge renders as float ("4070.0") and hash-mismatches
+        # Spark's bigint even though the values are identical.
         "token_stats_by_lang": f"""SELECT lang, count(*) AS n_docs,
-       sum(len({_WORDS})) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_regex_tokens
+       CAST(sum(len({_WORDS})) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_regex_tokens
 FROM documents GROUP BY 1""",
         "quality_by_source": f"""SELECT source, count(*) AS n_docs,
        round(avg({_SW_RATIO}), 4) AS avg_stopword_ratio,
        round(avg({_MEAN_TOK}), 4) AS avg_token_len,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1""",
         "lang_id_confusion": f"""SELECT lang, {_lang_id_sql()} AS lang_guess, count(*) AS n
 FROM documents GROUP BY 1, 2""",

@@ -114,7 +114,10 @@ def _rule(**kw: Any) -> OTTLRule:
 
 
 def reference_rules(schema_url: str = "") -> list[OTTLRule]:
-    """The 19-rule production set, verbatim from config.yaml:56-195."""
+    """The 18-rule production set, verbatim from config.yaml:56-195.
+
+    (The reference's BENCHMARK.md says "19 rules", but config.yaml defines
+    exactly 18 rule ids — verified with ``grep -c 'id:'``.)"""
     r = [
         _rule(id="http_server_routes", priority=100, span_kind=["server"],
               condition='FirstNonNil([attributes["http.request.method"], attributes["http.method"]]) != nil and attributes["http.route"] != nil',

@@ -30,6 +30,7 @@ __all__ = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_chunk_bounds",
     "simhash_pairs",
     "ngram_jaccard_pairs",
 ]
@@ -207,19 +208,41 @@ def hamming_bits(a: Column, b: Column) -> Column:
     return F.size(F.filter(F.zip_with(za, zb, lambda x, y: x != y), lambda d: d))
 
 
+def simhash_chunk_bounds(chunks: int, bits: int = 64) -> list[tuple[int, int]]:
+    """Partition ``bits`` signature bits into ``chunks`` contiguous spans
+    (1-based start, width) as evenly as possible — every bit covered."""
+    base, extra = divmod(bits, chunks)
+    bounds, start = [], 1
+    for c in range(chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    max_hamming: int = 6,
-    chunks: int = 4,
+    max_hamming: int = 3,
+    chunks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into ``chunks``
-    16-bit substrings (two sigs within Hamming<=chunks-1 per band pigeonhole
-    share at least one identical chunk when max_hamming < chunks), bucket-join
-    on (chunk_idx, chunk_value), verify exact Hamming."""
-    width = 64 // chunks
+    contiguous substrings covering all 64 bits; by pigeonhole, two sigs within
+    Hamming <= max_hamming share at least one identical chunk whenever
+    max_hamming < chunks, so bucket-joining on (chunk_idx, chunk_value) loses
+    no pair.  ``chunks`` defaults to max_hamming + 1 — the minimum that keeps
+    the guarantee; passing fewer chunks than that raises."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    if not max_hamming < chunks:
+        raise ValueError(
+            f"pigeonhole completeness requires max_hamming < chunks "
+            f"(got max_hamming={max_hamming}, chunks={chunks})"
+        )
+    if chunks > 64:
+        raise ValueError(f"chunks must be <= 64 (got {chunks})")
     spread = df.sparkSession.sparkContext.defaultParallelism
     sigd = df.repartition(spread).select(F.col(id_col), simhash64(text_col).alias("__sig"))
     banded = sigd.select(
@@ -230,9 +253,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.substring("__sig", c * width + 1, width).alias("chunk_val"),
+                        F.substring("__sig", start, width).alias("chunk_val"),
                     )
-                    for c in range(chunks)
+                    for c, (start, width) in enumerate(simhash_chunk_bounds(chunks))
                 ]
             )
         ).alias("__b"),

@@ -99,7 +99,21 @@ def extract_pages_native(df: DataFrame, text_col: str = "text", html_col: str = 
 
     keys = F.regexp_extract_all(text, F.lit(ATTR_LINE_PATTERN), 1)
     vals = F.regexp_extract_all(text, F.lit(ATTR_LINE_PATTERN), 2)
-    full = F.map_from_arrays(keys, vals)
+    # Last-wins on duplicate keys, matching the pandas twin's dict(findall):
+    # map_from_arrays would raise DUPLICATED_MAP_KEY under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION on a malformed page.  Keep an
+    # entry only when no LATER entry carries the same key (O(k^2) per row over
+    # the handful of telemetry lines; repeated subtrees are CSE'd by codegen's
+    # subexpression elimination within this projection).
+    entries = F.arrays_zip(keys.alias("key"), vals.alias("value"))
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    full = F.map_from_entries(deduped)
 
     attrs = F.map_filter(full, lambda k, _: ~k.isin(*_SPECIAL_KEYS))
     server = F.regexp_extract(html_text, SERVER_PATTERN, 1)

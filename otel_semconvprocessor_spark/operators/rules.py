@@ -155,8 +155,12 @@ def apply_rules(
 
     # Attribute-map update: add operation.name (guard guarantees the key is
     # absent on matched rows), operation.type set-if-absent, and name.original
-    # in enforce+preserve when the name changed.  map_concat is safe from
-    # duplicate keys by construction.
+    # in enforce+preserve when the name changed.  operation.name/.type cannot
+    # collide by construction, but name.original CAN pre-exist (the reference
+    # overwrites it via PutStr, processor.go:290) — so before map_concat we
+    # drop any base-map key the additions map is about to (re-)add, giving
+    # last-wins semantics instead of DUPLICATED_MAP_KEY under Spark's default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION.
     additions = F.map_from_entries(
         F.filter(
             F.array(
@@ -186,8 +190,23 @@ def apply_rules(
             lambda e: e["value"].isNotNull(),
         )
     )
+    # NB: the drop-predicate lambda must reference only literals — an
+    # unresolved column ref (e.g. `name`) inside a higher-order-function
+    # lambda in this withColumns can resolve against the REPLACED column
+    # (observed on Spark 4.1: the lambda saw the new enforced name, the
+    # sibling expression the original), silently changing semantics.
+    orig_fires = (
+        (F.lit(sp.preserve_original_name) & matched & (name != op_name))
+        if enforce
+        else F.lit(False)
+    )
     empty_map = F.create_map().cast("map<string,string>")
-    new_attrs = F.map_concat(F.coalesce(attrs, empty_map), additions)
+    coalesced = F.coalesce(attrs, empty_map)
+    base = F.when(
+        orig_fires,
+        F.map_filter(coalesced, lambda k, _: k != F.lit(sp.original_name_attribute)),
+    ).otherwise(coalesced)
+    new_attrs = F.map_concat(base, additions)
 
     return (
         df.withColumns(

@@ -103,3 +103,20 @@ def test_native_plan_has_no_python_or_shuffle(spark, pages):
 def test_pandas_plan_uses_arrow_eval(spark, pages):
     plan = extract_pages(pages.select("url", "text", "html"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "EvalPython" in plan
+
+
+def test_duplicate_telemetry_keys_last_wins(spark):
+    """A malformed page repeating a telemetry key must not crash the native
+    plan (DUPLICATED_MAP_KEY) and both twins must keep the LAST occurrence,
+    matching the pandas path's dict(findall) semantics."""
+    df = spark.createDataFrame(
+        [("https://ex.com/a",
+          "span.name: s\nspan.kind: server\nhttp.method: GET\nhttp.method: POST",
+          bytearray(b"<html></html>"))],
+        "url string, text string, html binary",
+    )
+    a = extract_pages(df).select("name", "kind", "attrs").collect()[0]
+    b = extract_pages_native(df).select("name", "kind", "attrs").collect()[0]
+    assert b["attrs"]["http.method"] == "POST"
+    assert a["name"] == b["name"] and a["kind"] == b["kind"]
+    assert dict(a["attrs"]) == dict(b["attrs"])

@@ -296,3 +296,25 @@ def test_cascade_stays_whole_stage_codegen(spark):
     plan = apply_rules(df, reference_config())._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_preexisting_original_name_attr_is_overwritten(spark):
+    """A span whose attrs already carry the original-name key (but no
+    operation.name) must not crash map_concat under the default
+    mapKeyDedupPolicy=EXCEPTION — the reference overwrites it via PutStr
+    (processor.go:290)."""
+    rule = OTTLRule(
+        id="http_rule", priority=100,
+        condition='attributes["http.method"] != nil',
+        operation_name='Concat([attributes["http.method"], "/test"], " ")',
+        operation_type='"http"',
+    )
+    cfg = _cfg([rule], mode=MODE_ENFORCE, preserve=True)
+    df = _spans(
+        spark,
+        [("old_name", "unspecified", {"http.method": "GET", "name.original": "stale"})],
+    )
+    row = apply_rules(df, cfg).collect()[0]
+    assert row["name"] == "GET /test"
+    assert row["attrs"]["name.original"] == "old_name"
+    assert row["name_original"] == "old_name"

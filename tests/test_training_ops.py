@@ -11,6 +11,7 @@ from otel_semconvprocessor_spark.operators.dedup import (
     ngram_jaccard_pairs,
     normalize_text,
     simhash64,
+    simhash_chunk_bounds,
     simhash_pairs,
 )
 from otel_semconvprocessor_spark.operators.similarity import (
@@ -161,3 +162,31 @@ def test_topk_lsh_recall(spark, sf01_dir):
     assert recall >= 0.7, recall  # L-table union keeps most true neighbors
     # every query at least finds itself
     assert all((q, q) in a for q in range(10))
+
+
+def test_simhash_chunk_bounds_cover_all_bits():
+    for chunks in (1, 4, 7, 17, 64):
+        bounds = simhash_chunk_bounds(chunks)
+        covered = [start + i for start, w in bounds for i in range(w)]
+        assert covered == list(range(1, 65))
+
+
+def test_simhash_pigeonhole_completeness(spark, docs):
+    """With default chunks (= max_hamming + 1) the banding must find EVERY
+    pair within max_hamming — brute-force ground truth over the signatures."""
+    sigs = {r["doc_id"]: r["s"]
+            for r in docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    max_h = 6
+    truth = {
+        (a, b)
+        for a in sigs for b in sigs
+        if a < b and sum(x != y for x, y in zip(sigs[a], sigs[b])) <= max_h
+    }
+    found = {(r["id_a"], r["id_b"])
+             for r in simhash_pairs(docs, max_hamming=max_h).collect()}
+    assert found == truth
+
+
+def test_simhash_rejects_incomplete_banding(spark, docs):
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=4, chunks=4)

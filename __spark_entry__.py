@@ -34,7 +34,9 @@ from otel_semconvprocessor_spark.functions.scalars import (
 from otel_semconvprocessor_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard,
+    minhash_lsh_pairs,
     normalize_text,
+    simhash_pairs,
 )
 from otel_semconvprocessor_spark.operators.enrich import (
     SemconvMapping,
@@ -44,7 +46,7 @@ from otel_semconvprocessor_spark.operators.enrich import (
 from otel_semconvprocessor_spark.operators.metrics import cardinality_summary, rule_effectiveness
 from otel_semconvprocessor_spark.operators.route import sink_expr
 from otel_semconvprocessor_spark.operators.rules import apply_rules
-from otel_semconvprocessor_spark.operators.similarity import cosine
+from otel_semconvprocessor_spark.operators.similarity import cosine, hyperplanes, topk_lsh
 from otel_semconvprocessor_spark.operators.text import (
     lang_id,
     mean_token_len,
@@ -257,6 +259,32 @@ def _q_ngram_near_dups(spark, sf_dir):
     )
 
 
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    """Training op: MinHash+LSH banded near-dup pairs (the dedup scale path).
+
+    max_bucket is set inert (the degenerate-bucket guard only DROPS pairs, so
+    the oracle would otherwise have to replicate bucket statistics; the guard
+    itself is covered by pytest)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=16, bands=4, max_bucket=10**9
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """Training op: SimHash banded near-dup pairs.  Pigeonhole-complete
+    banding means the output is EXACTLY all pairs with hamming <= max_hamming,
+    so the oracle is the quadratic all-pairs ground truth."""
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def _q_topk_lsh(spark, sf_dir):
+    """Training op: hyperplane-LSH approximate top-k (the ANN scale path).
+    Deterministic md5 hyperplanes are injected into the oracle as literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return topk_lsh(emb, q, k=10, bits=8, tables=4, multiprobe=1, dim=64)
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Training op: brute-force cosine top-k (queries = vec_id < 5)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -328,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": _q_quality_by_source,
         "lang_id_confusion": _q_lang_id_confusion,
         "ngram_near_dups": _q_ngram_near_dups,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "topk_lsh": _q_topk_lsh,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_stats": _q_embedding_label_stats,
         "events_route_counts": _q_events_route_counts,
@@ -497,6 +528,113 @@ _LANG_MARKERS_SQL = {
 }
 
 
+# md5-nibble SimHash signature (operators/dedup.py simhash64 twin): nibble
+# p of md5(token) supplies bits 4p..4p+3, high bit first; vote sum > 0 => '1'
+_SIMHASH_SIG = (
+    "array_to_string(list_transform(range(64), bit -> "
+    f"CASE WHEN coalesce(list_sum(list_transform({_WORDS}, "
+    "tok -> CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), (bit // 4) + 1, 1)) - 1) "
+    "// (CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1 "
+    "THEN 1 ELSE -1 END)), 0) > 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+def _minhash_lsh_oracle(threshold: float = 0.5, num_hashes: int = 16, bands: int = 4) -> str:
+    """MinHash banding re-derived in DuckDB: same md5-salted signatures, same
+    per-band md5(band-row concat) bucket keys, exact-Jaccard verify."""
+    rpb = num_hashes // bands
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || '#{i}')))" for i in range(num_hashes)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, sh, {b} AS band, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, [{sig_items}] AS sig FROM sh),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         len(list_filter(list_distinct(sh_a), x -> list_contains(sh_b, x))) AS inter,
+         len(list_distinct(sh_a)) + len(list_distinct(sh_b)) AS stot
+  FROM cand
+),
+jj AS (SELECT id_a, id_b,
+              CASE WHEN stot - inter > 0 THEN inter / CAST(stot - inter AS DOUBLE) ELSE 0.0 END AS jaccard
+       FROM j)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jj WHERE jaccard >= {threshold}"""
+
+
+def _simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    """Pigeonhole-complete banding returns EXACTLY the pairs within
+    max_hamming, so the oracle is the all-pairs ground truth."""
+    return f"""WITH sigs AS (SELECT doc_id, {_SIMHASH_SIG} AS sig FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(range(64), i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(64), i -> substr(a.sig, i + 1, 1) <> substr(b.sig, i + 1, 1))) <= {max_hamming}"""
+
+
+def _lsh_sig_sql(vec: str, table: int, bits: int = 8, dim: int = 64) -> str:
+    """Sign-bit signature with the deterministic md5 hyperplanes injected as
+    DOUBLE literals (operators/similarity.py hyperplanes())."""
+    parts = []
+    for row in hyperplanes(dim, bits, seed=f"lsh-{table}"):
+        lits = ", ".join(repr(x) for x in row)
+        parts.append(
+            f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), [{lits}]) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
+
+
+def _topk_lsh_oracle(k: int = 10, bits: int = 8, tables: int = 4) -> str:
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[]))) > 0"
+        " THEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[]))))"
+        " ELSE 0.0 END"
+    )
+    csig = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, 't{t}:' || {_lsh_sig_sql('embedding', t, bits)} AS sig FROM embeddings"
+        for t in range(tables)
+    )
+    qparts = []
+    for t in range(tables):
+        base = (
+            f"SELECT vec_id AS query_id, embedding AS qvec, "
+            f"{_lsh_sig_sql('embedding', t, bits)} AS s FROM embeddings WHERE vec_id < 5"
+        )
+        # probe 0: the query's own bucket; probe 1: first bit flipped (multiprobe=1)
+        qparts.append(f"SELECT query_id, qvec, 't{t}:' || s AS sig FROM ({base})")
+        qparts.append(
+            f"SELECT query_id, qvec, 't{t}:' || (CASE WHEN substr(s, 1, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(s, 2, {bits - 1}) AS sig FROM ({base})"
+        )
+    qsig = "\nUNION ALL\n".join(qparts)
+    return f"""WITH csig AS ({csig}),
+qsig AS (SELECT DISTINCT query_id, qvec, sig FROM ({qsig})),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id, q.qvec, c.embedding
+  FROM csig c JOIN qsig q ON c.sig = q.sig
+),
+scored AS (SELECT query_id, vec_id, {cos} AS score FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank FROM ranked WHERE rank <= {k}"""
+
+
 def _lang_id_sql() -> str:
     scores = {
         lang: f"len(list_filter({_WORDS}, w -> list_contains({ms}, w)))"
@@ -595,6 +733,9 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))
       / CAST(len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) >= 0.5""",
+        "minhash_lsh_pairs": _minhash_lsh_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "topk_lsh": _topk_lsh_oracle(),
         "embedding_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
 ), scored AS (

@@ -177,18 +177,33 @@ def minhash_lsh_pairs(
 
 def simhash64(text: Column | str, tokens: Column | None = None) -> Column:
     """64-bit SimHash as a 64-char '0'/'1' string (portable across engines —
-    no unsigned-int pitfalls).  Token hash = xxhash64; bit i votes +1/-1 by
-    the i-th bit; signature bit = majority."""
+    no unsigned-int pitfalls).  Token hash = the first 16 hex chars of
+    md5(token) (64 bits); bit i votes +1/-1; signature bit = majority.
+
+    md5-derived bits (rather than xxhash64) keep the signature reproducible
+    in any engine with md5 — the DuckDB oracle re-derives identical
+    signatures from the same hex-nibble arithmetic."""
     toks = tokens if tokens is not None else ws_tokens(text)
 
     def bit_votes(t: Column) -> Column:
-        # statically unrolled: shiftright requires a literal shift amount
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for i in range(64)
-            ]
+        # nibble p (0-based) of the md5 hex supplies bits 4p..4p+3, high bit
+        # first; one conv per nibble, shift amounts statically unrolled
+        # (shiftright requires a literal shift)
+        h = F.md5(t)
+        nibs = F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda p: F.conv(h.substr(p, F.lit(1)), 16, 10).cast("int"),
+        )
+        return F.flatten(
+            F.transform(
+                nibs,
+                lambda v: F.array(
+                    *[
+                        F.when(F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                        for j in (3, 2, 1, 0)
+                    ]
+                ),
+            )
         )
 
     votes = F.aggregate(

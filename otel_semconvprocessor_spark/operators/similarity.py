@@ -168,6 +168,7 @@ def topk_lsh(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     multiprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via the standard L-table hyperplane-LSH construction:
     ``tables`` independent signatures bucket the corpus; each query probes its
@@ -179,7 +180,11 @@ def topk_lsh(
     expressions), the tiny probe set broadcasts, and only candidate rows are
     scored — per-query cost ~ tables * corpus / 2^bits instead of |corpus|.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    # hyperplane construction needs the vector dimensionality, which
+    # array<float> schemas don't carry — pass ``dim`` to avoid the
+    # driver-side probe read
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     sig_tagged = []
     probe_tagged = []
     for t in range(tables):

@@ -19,6 +19,7 @@ Everything is md5-keyed -> DuckDB-oracle comparable.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -146,8 +147,10 @@ def minhash_lsh_pairs(
 
     # the banded frame feeds three plan branches (bucket sizing + both sides
     # of the self-join); without persist the whole shingle+signature pipeline
-    # would recompute per branch (measured ~5x)
-    banded = banded.persist()
+    # would recompute per branch (measured ~5x).  Explicit MEMORY_AND_DISK:
+    # at 100 TB the rows x bands frame exceeds executor memory and must be
+    # allowed to spill rather than evict-and-recompute.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     # degenerate-bucket guard: a band key shared by >max_bucket docs would
     # blow up the pair join quadratically; count and drop those buckets
@@ -275,7 +278,9 @@ def simhash_pairs(
             )
         ).alias("__b"),
     ).select(id_col, "__sig", F.col("__b.chunk").alias("chunk"), F.col("__b.chunk_val").alias("chunk_val"))
-    banded = banded.persist()  # feeds both sides of the self-join
+    # feeds both sides of the self-join; disk-backed for the same 100 TB
+    # spill reason as the minhash banded frame above
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         _pair_join(banded, banded, on=["chunk", "chunk_val"], id_col=id_col)
         .select(
@@ -307,7 +312,7 @@ def ngram_jaccard_pairs(
     sh = (
         df.repartition(spread)
         .select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh"))
-        .persist()  # both sides of the cross join
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the cross join
     )
     pairs = _pair_join(sh, sh, on=F.lit(True), id_col=id_col).select(
         F.col(f"a.{id_col}").alias("id_a"),

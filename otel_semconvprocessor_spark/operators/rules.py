@@ -58,6 +58,9 @@ class CompiledRuleCols:
     predicate: Column
     operation_name: Column
     operation_type: Column | None
+    # True when the name expr can evaluate to NULL (= OTTL eval error,
+    # processor.go:244-250) and the cascade must test it before matching.
+    name_nullable: bool = False
 
 
 def compile_rule_columns(
@@ -78,14 +81,18 @@ def compile_rule_columns(
             # processor.go:215-228 — empty list means all kinds.
             pred = kind_col.isin(list(rule.span_kind)) & pred
         name_expr = compile_ottl(rule.operation_name, attrs_col, name_col).cast("string")
-        if not value_expr_never_null(rule.operation_name):
-            # name-expr error => skip THIS rule and continue the cascade
-            # (processor.go:244-250).
-            pred = pred & name_expr.isNotNull()
         type_expr = None
         if rule.operation_type:
             type_expr = compile_ottl(rule.operation_type, attrs_col, name_col).cast("string")
-        out.append(CompiledRuleCols(rule.id, pred, name_expr, type_expr))
+        out.append(
+            CompiledRuleCols(
+                rule.id,
+                pred,
+                name_expr,
+                type_expr,
+                name_nullable=not value_expr_never_null(rule.operation_name),
+            )
+        )
     return out
 
 
@@ -129,7 +136,18 @@ def apply_rules(
             c.operation_name.alias("op_name"),
             (c.operation_type if c.operation_type is not None else F.lit(None).cast("string")).alias("op_type"),
         )
-        cascade = F.when(c.predicate, hit).otherwise(cascade)
+        if c.name_nullable:
+            # name-expr error => skip THIS rule and continue the cascade
+            # (processor.go:244-250).  Evaluate the hit struct ONCE behind the
+            # base predicate and test its op_name field, instead of folding
+            # name_expr.isNotNull() into the predicate and re-evaluating the
+            # (possibly expensive, e.g. ParseSQL) expr in the value: codegen's
+            # conditional subexpression elimination shares `attempt` between
+            # the branch condition and value.
+            attempt = F.when(c.predicate, hit)
+            cascade = F.when(attempt["op_name"].isNotNull(), attempt).otherwise(cascade)
+        else:
+            cascade = F.when(c.predicate, hit).otherwise(cascade)
 
     # Skip-guard (processor.go:202-206): pre-existing operation.name attribute
     # short-circuits the whole cascade.

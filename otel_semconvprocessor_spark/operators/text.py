@@ -10,7 +10,7 @@ here is DuckDB-oracle checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "mean_token_len",
     "quality_features",
     "lang_id",
+    "lang_id_staged",
     "word_shingles",
     "minhash_signature",
     "doc_fingerprint",
@@ -51,8 +52,19 @@ def ws_tokens(text: Column | str) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
-def ws_token_count(text: Column | str) -> Column:
-    return F.size(ws_tokens(text))
+def _tokens_or(text: Column | str | None, tokens: Column | None) -> Column:
+    """Catalyst does not CSE the trim+split across when-branches, HOF lambda
+    bodies or separate aggregate expressions — callers combining several
+    token-based metrics should stage ``ws_tokens`` once as a projected column
+    and pass it via ``tokens=`` (same fix as the round-1 dedup staging)."""
+    if tokens is not None:
+        return tokens
+    assert text is not None, "pass either text or tokens"
+    return ws_tokens(text)
+
+
+def ws_token_count(text: Column | str | None = None, *, tokens: Column | None = None) -> Column:
+    return F.size(_tokens_or(text, tokens))
 
 
 def regex_token_count(text: Column | str) -> Column:
@@ -63,16 +75,23 @@ def regex_token_count(text: Column | str) -> Column:
     )
 
 
-def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
-    words = ws_tokens(text)
+def stopword_ratio(
+    text: Column | str | None = None,
+    stopwords: list[str] | None = None,
+    *,
+    tokens: Column | None = None,
+) -> Column:
+    words = _tokens_or(text, tokens)
     sw = stopwords or STOPWORDS
     hits = F.size(F.filter(words, lambda w: w.isin(sw)))
     n = F.size(words)
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def mean_token_len(text: Column | str) -> Column:
-    words = ws_tokens(text)
+def mean_token_len(
+    text: Column | str | None = None, *, tokens: Column | None = None
+) -> Column:
+    words = _tokens_or(text, tokens)
     n = F.size(words)
     total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
@@ -85,37 +104,85 @@ def punct_ratio(text: Column | str) -> Column:
     return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def quality_features(text: Column | str) -> Column:
+def quality_features(
+    text: Column | str, *, tokens: Column | None = None
+) -> Column:
     """Quality-scoring struct: the usual pretraining heuristics."""
     t = _as_col(text)
+    toks = _tokens_or(t, tokens)
     return F.struct(
         F.length(t).alias("n_chars"),
-        ws_token_count(t).alias("n_tokens"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        mean_token_len(t).alias("mean_token_len"),
+        ws_token_count(tokens=toks).alias("n_tokens"),
+        stopword_ratio(tokens=toks).alias("stopword_ratio"),
+        mean_token_len(tokens=toks).alias("mean_token_len"),
         punct_ratio(t).alias("punct_ratio"),
     )
 
 
-def lang_id(text: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
-    """Stopword-hit language heuristic: argmax of per-language marker counts;
-    deterministic tie-break by the fixed language order; no hits -> 'und'."""
-    words = ws_tokens(text)
-    markers = markers or LANG_MARKERS
-
-    # NB: bind the marker list via a factory, NOT a lambda default argument —
-    # pyspark treats a 2-arg lambda in F.filter as (element, index) and would
-    # silently pass the index column as `ms`.
-    def marker_hits(ms: list[str]) -> Column:
-        return F.size(F.filter(words, lambda w: w.isin(ms)))
-
-    scores = {lang: marker_hits(ms) for lang, ms in markers.items()}
+def _lang_id_from_scores(
+    scores: dict[str, Column], markers: dict[str, list[str]]
+) -> Column:
+    """argmax of per-language marker counts; deterministic tie-break by the
+    fixed language order; no hits -> 'und'."""
     best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
     expr = F.lit("und")
     # reversed so the FIRST language in dict order wins ties
     for lang in reversed(list(markers)):
         expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def _marker_hits(words: Column, ms: list[str]) -> Column:
+    # NB: bind the marker list via a factory, NOT a lambda default argument —
+    # pyspark treats a 2-arg lambda in F.filter as (element, index) and would
+    # silently pass the index column as `ms`.
+    return F.size(F.filter(words, lambda w: w.isin(ms)))
+
+
+def lang_id(
+    text: Column | str | None = None,
+    markers: dict[str, list[str]] | None = None,
+    *,
+    tokens: Column | None = None,
+) -> Column:
+    """Stopword-hit language heuristic as a single Column expression.
+
+    The argmax references each score ~3x and each score re-tokenizes, so in
+    hot paths prefer ``lang_id_staged`` (tokens + scores staged as projected
+    columns, each evaluated once)."""
+    words = _tokens_or(text, tokens)
+    markers = markers or LANG_MARKERS
+    scores = {lang: _marker_hits(words, ms) for lang, ms in markers.items()}
+    return _lang_id_from_scores(scores, markers)
+
+
+def lang_id_staged(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_guess",
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """lang_id with tokens and per-language scores staged as projections.
+    Output is identical to ``lang_id`` (parity-tested).
+
+    When to use which (measured at 400k rows): as a SINGLE expression (one
+    groupBy key / one projected column), plain ``lang_id`` is faster (2.1s vs
+    2.8s) because codegen subexpression elimination already shares the
+    token/score subtrees within one expression tree.  Staging wins when the
+    scores feed MULTIPLE separate expressions (e.g. several aggregate
+    expressions, which are NOT cross-CSE'd — see the 1.5x quality-scoring
+    win from staging tokens across aggs)."""
+    markers = markers or LANG_MARKERS
+    staged = df.withColumn("__toks", ws_tokens(text_col)).withColumn(
+        "__scores",
+        F.struct(
+            *[_marker_hits(F.col("__toks"), ms).alias(lang) for lang, ms in markers.items()]
+        ),
+    )
+    scores = {lang: F.col("__scores")[lang] for lang in markers}
+    return staged.withColumn(out_col, _lang_id_from_scores(scores, markers)).drop(
+        "__toks", "__scores"
+    )
 
 
 def word_shingles(text: Column | str, k: int = 3) -> Column:

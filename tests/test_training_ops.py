@@ -22,6 +22,7 @@ from otel_semconvprocessor_spark.operators.similarity import (
 from otel_semconvprocessor_spark.operators.text import (
     doc_fingerprint,
     lang_id,
+    lang_id_staged,
     minhash_signature,
     quality_features,
     regex_token_count,
@@ -190,3 +191,20 @@ def test_simhash_pigeonhole_completeness(spark, docs):
 def test_simhash_rejects_incomplete_banding(spark, docs):
     with pytest.raises(ValueError):
         simhash_pairs(docs, max_hamming=4, chunks=4)
+
+
+def test_lang_id_staged_parity(spark, docs):
+    plain = {r["doc_id"]: r["g"]
+             for r in docs.select("doc_id", lang_id("text").alias("g")).collect()}
+    staged = {r["doc_id"]: r["lang_guess"]
+              for r in lang_id_staged(docs).select("doc_id", "lang_guess").collect()}
+    assert plain == staged
+
+
+def test_quality_tokens_staging_parity(spark, docs):
+    from otel_semconvprocessor_spark.operators.text import stopword_ratio, ws_tokens
+
+    unstaged = docs.select("doc_id", stopword_ratio("text").alias("r")).collect()
+    d = docs.select("doc_id", ws_tokens("text").alias("__toks"))
+    staged = d.select("doc_id", stopword_ratio(tokens=F.col("__toks")).alias("r")).collect()
+    assert {r["doc_id"]: r["r"] for r in unstaged} == {r["doc_id"]: r["r"] for r in staged}

@@ -4,32 +4,52 @@ The reference is a push-based stream with no resume story; the graft's batch
 pipeline must "resume from per-partition checkpoints with lineage + metrics
 manifests" (BASELINE.json north_star).
 
-Design:
-  * the input is split into deterministic chunks by ``pmod(xxhash64(url),
-    n_chunks)`` — seed-free, so the same row lands in the same chunk on every
-    run and at every parallelism level.  In production the chunk key is the
-    input partition (e.g. the warc_ts day / Iceberg file group); the hash
-    chunking here keeps the mechanism testable on one flat file.
+Design (single-scan resume):
+  * the unit of checkpointing is a CHUNK OF INPUT FILES: the parquet file
+    list is enumerated once on the driver, sorted (deterministic across runs
+    and parallelism levels), and dealt round-robin into ``n_chunks`` groups.
+    Each chunk's job reads ONLY its own files (``spark.read.parquet(*files)``)
+    — a resumed run therefore scans exactly the unfinished chunks' bytes,
+    never the whole input.  At 100 TB this is the difference between "resume
+    costs one scan of the remaining data" and "n_chunks full corpus scans".
+  * per-chunk row counts come from a ``pyspark.sql.Observation`` attached to
+    the written plan (the write action itself produces the metric) — no
+    post-write re-read.
   * each chunk is written to its own ``chunk=<id>`` subtree with
     mode=overwrite — a crash mid-chunk leaves a subtree that the retry simply
     overwrites, so restarts are idempotent (no dup, no missing rows).
+  * the chunk->files assignment is itself checkpoint state: it is written to
+    ``_plan`` once at first run and resumed runs read it back, so resume is
+    immune to file-listing drift (a file that disappeared after its chunk
+    committed cannot reshuffle the remaining chunks).
   * the lineage manifest (one parquet row per completed chunk: run_id, chunk,
-    row_count, wall seconds, finished_at) is appended strictly AFTER the
-    chunk's data commit; on restart completed chunks are anti-joined away.
+    row_count, wall seconds, finished_at, and the chunk's input files) is
+    appended strictly AFTER the chunk's data commit; on restart completed
+    chunks are skipped by manifest lookup.
+  * an in-memory (non-file-backed) input DataFrame falls back to
+    deterministic hash chunking by ``pmod(xxhash64(url), n_chunks)`` — that
+    path re-filters the input per chunk and is intended for tests / small
+    inputs only; production inputs are tables on storage.
 """
 
 from __future__ import annotations
 
 import time
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import Config
 from ..plans.pipeline import build_normalized
 from ..operators.route import assign_sink
 
-__all__ = ["SimulatedCrash", "run_with_checkpoints", "read_manifest"]
+__all__ = ["SimulatedCrash", "run_with_checkpoints", "read_manifest", "chunk_input_files"]
+
+MANIFEST_SCHEMA = (
+    "run_id string, chunk int, row_count long, wall_sec double, "
+    "finished_at double, files string"
+)
 
 
 class SimulatedCrash(RuntimeError):
@@ -50,9 +70,35 @@ def completed_chunks(spark: SparkSession, out_path: str) -> set[int]:
     return {r["chunk"] for r in m.select("chunk").distinct().collect()}
 
 
+def chunk_input_files(spark: SparkSession, in_path: str, n_chunks: int) -> list[list[str]]:
+    """Deterministic file->chunk assignment: sorted file list dealt
+    round-robin.  Same input => same chunks on every run and cluster size."""
+    files = sorted(spark.read.parquet(in_path).inputFiles())
+    n = max(1, min(n_chunks, len(files)))
+    return [files[i::n] for i in range(n)]
+
+
+def _load_or_create_plan(
+    spark: SparkSession, in_path: str, out_path: str, n_chunks: int
+) -> list[list[str]]:
+    """The chunk plan is checkpoint state: computed once at first run,
+    persisted to ``_plan``, and reused verbatim on resume."""
+    try:
+        rows = spark.read.parquet(f"{out_path}/_plan").collect()
+        plan: dict[int, list[str]] = {r["chunk"]: r["files"].split(";") for r in rows}
+        return [plan[i] for i in range(len(plan))]
+    except Exception:
+        chunks = chunk_input_files(spark, in_path, n_chunks)
+        spark.createDataFrame(
+            [(i, ";".join(fs)) for i, fs in enumerate(chunks)],
+            "chunk int, files string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/_plan")
+        return chunks
+
+
 def run_with_checkpoints(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | str,
     out_path: str,
     cfg: Config | None = None,
     *,
@@ -63,30 +109,55 @@ def run_with_checkpoints(
 ) -> list[int]:
     """Process chunk-by-chunk with resume; returns chunks processed THIS call.
 
+    ``pages``: a parquet path (production path — file-chunked, single-scan
+    resume) or a DataFrame (hash-chunked fallback for in-memory inputs).
     Skips chunks already in the manifest (possibly from a previous crashed
     run), overwrites any partial chunk output, and appends one manifest row
     per completed chunk.
     """
     done = completed_chunks(spark, out_path)
-    chunk_of = F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks))
     processed: list[int] = []
-    for chunk in range(n_chunks):
+
+    if isinstance(pages, str):
+        chunks = _load_or_create_plan(spark, pages, out_path, n_chunks)
+        schema = spark.read.parquet(pages).schema
+
+        def chunk_df(i: int) -> DataFrame:
+            # reads ONLY this chunk's files; explicit schema so empty/late
+            # chunks don't re-infer
+            return spark.read.schema(schema).parquet(*chunks[i])
+
+        chunk_lineage = {i: ";".join(chunks[i]) for i in range(len(chunks))}
+        chunk_ids = range(len(chunks))
+    else:
+        # fallback: n_chunks filtered passes over the in-memory frame
+        chunk_of = F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks))
+
+        def chunk_df(i: int) -> DataFrame:
+            return pages.filter(chunk_of == i)
+
+        chunk_lineage = {i: f"hash:{i}/{n_chunks}" for i in range(n_chunks)}
+        chunk_ids = range(n_chunks)
+
+    for chunk in chunk_ids:
         if chunk in done:
             continue
         t0 = time.time()
-        sub = pages.filter(chunk_of == chunk)
-        normalized = assign_sink(build_normalized(spark, sub, cfg, extractor=extractor))
+        normalized = assign_sink(build_normalized(spark, chunk_df(chunk), cfg, extractor=extractor))
         normalized = normalized.drop("html", "text").withColumn(
             "warc_day", F.to_date(F.col("warc_ts"))
         )
+        # row count observed on the write plan itself — no post-write re-read
+        obs = Observation(f"ckpt-{run_id}-{chunk}-{uuid.uuid4().hex[:8]}")
+        normalized = normalized.observe(obs, F.count(F.lit(1)).alias("rows"))
         # idempotent per-chunk commit: overwrite this chunk's subtree only
         normalized.write.mode("overwrite").partitionBy("sink").parquet(
             f"{out_path}/data/chunk={chunk}"
         )
-        n = spark.read.parquet(f"{out_path}/data/chunk={chunk}").count()
+        n = obs.get["rows"]
         manifest_row = spark.createDataFrame(
-            [(run_id, chunk, n, time.time() - t0, float(time.time()))],
-            "run_id string, chunk int, row_count long, wall_sec double, finished_at double",
+            [(run_id, chunk, n, time.time() - t0, float(time.time()), chunk_lineage[chunk])],
+            MANIFEST_SCHEMA,
         )
         manifest_row.write.mode("append").parquet(f"{out_path}/_manifest")
         processed.append(chunk)

@@ -244,24 +244,75 @@ def test_sink_counts_match_python_oracle(spark, pages, tmp_path):
     assert got == expected
 
 
-def test_checkpoint_resume_no_dup_no_missing(spark, pages, tmp_path):
+@pytest.fixture(scope="module")
+def pages_path(spark, pages, tmp_path_factory):
+    """File-backed pages input (the production checkpoint path is chunked by
+    input file, so it needs real files — 4 of them)."""
+    p = str(tmp_path_factory.mktemp("ckpt-in") / "pages")
+    pages.repartition(4).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_checkpoint_resume_no_dup_no_missing(spark, pages_path, tmp_path):
     out = str(tmp_path / "ckpt")
     cfg = reference_config()
     with pytest.raises(SimulatedCrash):
-        run_with_checkpoints(spark, pages, out, cfg, n_chunks=4, fail_after_chunk=1)
+        run_with_checkpoints(spark, pages_path, out, cfg, n_chunks=4, fail_after_chunk=1)
     # partial state: some chunks done
     partial = read_all_output(spark, out).count()
     assert 0 < partial < N
     # resume: finishes only the remaining chunks
-    done_second = run_with_checkpoints(spark, pages, out, cfg, n_chunks=4, run_id="resume")
+    done_second = run_with_checkpoints(spark, pages_path, out, cfg, n_chunks=4, run_id="resume")
     assert len(done_second) == 2
     final = read_all_output(spark, out)
     assert final.count() == N
     assert final.select("url").distinct().count() == N  # no dups, none missing
+    # lineage manifest records each chunk's input files
+    from otel_semconvprocessor_spark.plans.checkpoint import read_manifest
+
+    manifest = {r["chunk"]: r["files"] for r in read_manifest(spark, out).collect()}
+    assert len(manifest) == 4
+    assert all(".parquet" in f for f in manifest.values())
 
 
-def test_checkpoint_rerun_is_noop(spark, pages, tmp_path):
-    out = str(tmp_path / "ckpt2")
-    run_with_checkpoints(spark, pages, out, n_chunks=2)
-    assert run_with_checkpoints(spark, pages, out, n_chunks=2) == []
+def test_checkpoint_resume_scans_only_unfinished_input(spark, pages_path, tmp_path):
+    """IO assertion for single-scan resume: after the crash, make the
+    COMPLETED chunks' input files unreadable — the resumed run must still
+    succeed because it only reads the unfinished chunks' files."""
+    import os
+    import shutil
+
+    from otel_semconvprocessor_spark.plans.checkpoint import chunk_input_files, read_manifest
+
+    # private copy of the input (we mutate it)
+    in_path = str(tmp_path / "pages-in")
+    shutil.copytree(pages_path, in_path)
+    out = str(tmp_path / "ckpt-io")
+    with pytest.raises(SimulatedCrash):
+        run_with_checkpoints(spark, in_path, out, n_chunks=4, fail_after_chunk=1)
+    chunks = chunk_input_files(spark, in_path, 4)
+    done = {r["chunk"] for r in read_manifest(spark, out).collect()}
+    assert done == {0, 1}
+    for c in done:
+        for f in chunks[c]:
+            local = f.replace("file:", "")
+            os.rename(local, local + ".hidden")  # completed input gone
+    done_second = run_with_checkpoints(spark, in_path, out, n_chunks=4, run_id="resume")
+    assert sorted(done_second) == [2, 3]
     assert read_all_output(spark, out).count() == N
+
+
+def test_checkpoint_rerun_is_noop(spark, pages_path, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    run_with_checkpoints(spark, pages_path, out, n_chunks=2)
+    assert run_with_checkpoints(spark, pages_path, out, n_chunks=2) == []
+    assert read_all_output(spark, out).count() == N
+
+
+def test_checkpoint_dataframe_fallback(spark, pages, tmp_path):
+    """In-memory (non-file-backed) inputs hash-chunk and still resume."""
+    out = str(tmp_path / "ckpt3")
+    with pytest.raises(SimulatedCrash):
+        run_with_checkpoints(spark, pages, out, n_chunks=2, fail_after_chunk=0)
+    assert run_with_checkpoints(spark, pages, out, n_chunks=2) == [1]
+    assert read_all_output(spark, out).select("url").distinct().count() == N

@@ -46,6 +46,7 @@ from otel_semconvprocessor_spark.operators.enrich import (
 from otel_semconvprocessor_spark.operators.metrics import cardinality_summary, rule_effectiveness
 from otel_semconvprocessor_spark.operators.route import sink_expr
 from otel_semconvprocessor_spark.operators.rules import apply_rules
+from otel_semconvprocessor_spark.operators.rules_broadcast import apply_rules_broadcast
 from otel_semconvprocessor_spark.operators.similarity import cosine, hyperplanes, topk_lsh
 from otel_semconvprocessor_spark.operators.text import (
     lang_id,
@@ -81,6 +82,23 @@ def _normalized(spark: SparkSession, sf_dir: str, mode: str = "enforce") -> Data
 def _q_rule_cascade_rows(spark, sf_dir):
     """R3-R11: the full 18-rule enforce cascade, row-level."""
     n = _normalized(spark, sf_dir)
+    return n.select(
+        "doc_id",
+        "kind",
+        "rule_id",
+        "operation_name",
+        "operation_type",
+        F.col("name").alias("final_name"),
+        "name_original",
+    )
+
+
+def _q_rule_cascade_broadcast(spark, sf_dir):
+    """North-star variant: the schema-url-keyed BROADCAST rule-table cascade
+    (operators/rules_broadcast.py) must produce the identical row-level output
+    as the CASE chain — same oracle SQL as rule_cascade_rows."""
+    cfg = reference_config()
+    n = apply_rules_broadcast(doc_spans(spark, sf_dir), cfg, id_col="doc_id")
     return n.select(
         "doc_id",
         "kind",
@@ -349,6 +367,7 @@ def _q_events_daily(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_cascade_rows": _q_rule_cascade_rows,
+        "rule_cascade_broadcast": _q_rule_cascade_broadcast,
         "rule_effectiveness": _q_rule_effectiveness,
         "sink_route_counts": _q_sink_route_counts,
         "cardinality_metrics": _q_cardinality_metrics,
@@ -663,6 +682,12 @@ def oracle_sql() -> dict[str, str]:
     name_original = "CASE WHEN rule_id IS NOT NULL AND name <> operation_name THEN name END"
     return {
         "rule_cascade_rows": f"""WITH {cascade}
+SELECT doc_id, kind, rule_id, operation_name, operation_type,
+       coalesce(operation_name, name) AS final_name,
+       {name_original} AS name_original
+FROM named""",
+        # the broadcast rule-table variant must equal the CASE chain exactly
+        "rule_cascade_broadcast": f"""WITH {cascade}
 SELECT doc_id, kind, rule_id, operation_name, operation_type,
        coalesce(operation_name, name) AS final_name,
        {name_original} AS name_original

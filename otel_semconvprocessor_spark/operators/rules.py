@@ -49,7 +49,7 @@ from ..config import MODE_ENFORCE, Config
 from ..functions.ottl import compile_ottl, value_expr_never_null
 from ..functions.scalars import attr
 
-__all__ = ["compile_rule_columns", "apply_rules", "CompiledRuleCols"]
+__all__ = ["compile_rule_columns", "apply_rules", "finish_match", "CompiledRuleCols"]
 
 
 @dataclass
@@ -153,7 +153,25 @@ def apply_rules(
     # short-circuits the whole cascade.
     guarded = F.when(attr(attrs, sp.operation_name_attribute).isNull(), cascade)
 
-    df = df.withColumn("__match", guarded)
+    return finish_match(df.withColumn("__match", guarded), cfg, attrs_col, name_col)
+
+
+def finish_match(
+    df: DataFrame,
+    cfg: Config,
+    attrs_col: str = "attrs",
+    name_col: str = "name",
+) -> DataFrame:
+    """Shared post-match stage: given a ``__match`` struct column
+    (``struct<rule_id,op_name,op_type>``, NULL = skip-guarded or no match),
+    produce the output contract — enforce/enrich naming, name.original
+    preservation, and the attribute-map update.  Used by both the CASE-chain
+    cascade above and the broadcast rule-table variant
+    (operators/rules_broadcast.py), which is how the two are cross-checked
+    to be identical."""
+    sp = cfg.span_processing
+    attrs = F.col(attrs_col)
+    name = F.col(name_col)
     m = F.col("__match")
     matched = m.isNotNull()
     op_name = m["op_name"]

@@ -107,20 +107,34 @@ def write_routed_single_pass(
     routed.write.mode(mode).partitionBy("sink", "warc_day", "lang").parquet(base_path)
 
 
-def write_per_sink_tables(df: DataFrame, base_path: str, mode: str = "overwrite") -> dict[str, str]:
+def write_per_sink_tables(
+    df: DataFrame,
+    base_path: str | None = None,
+    mode: str = "overwrite",
+    *,
+    catalog=None,
+) -> dict[str, str]:
     """Separate-tables strategy: persist the normalized frame once, then one
-    filtered write per sink (the Iceberg ``df.filter(pred).writeTo(tbl)``
-    shape).  Avoids recomputing the extraction UDF per sink (SURVEY.md §4
-    'the one place naive Spark recomputes')."""
+    filtered write per sink table — the Iceberg ``df.filter(pred).writeTo``
+    shape, routed through the SinkCatalog abstraction (sources/catalog.py):
+    pass an ``IcebergCatalog`` in prod, default ``ParquetDirCatalog`` here.
+    Avoids recomputing the extraction UDF per sink (SURVEY.md §4 'the one
+    place naive Spark recomputes')."""
+    from ..sources.catalog import ParquetDirCatalog
+
+    if catalog is None:
+        assert base_path is not None, "pass base_path or a catalog"
+        catalog = ParquetDirCatalog(base_path)
     routed = _with_day(assign_sink(df)).persist()
-    paths = {}
+    tables = {}
     try:
-        for sink, pred in route_predicates().items():
-            path = f"{base_path}/{sink}"
-            routed.filter(F.col("sink") == sink).drop("sink").write.mode(mode).partitionBy(
-                "warc_day", "lang"
-            ).parquet(path)
-            paths[sink] = path
+        for sink in SINKS:
+            sub = routed.filter(F.col("sink") == sink).drop("sink")
+            if mode == "append":
+                catalog.append(sub, sink, ["warc_day", "lang"])
+            else:
+                catalog.create_or_replace(sub, sink, ["warc_day", "lang"])
+            tables[sink] = sink
     finally:
         routed.unpersist()
-    return paths
+    return tables

@@ -1,0 +1,68 @@
+"""SinkCatalog (the Iceberg-shaped write surface): verb semantics on the
+parquet implementation, and the per-sink route strategy through it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from otel_semconvprocessor_spark.config import reference_config
+from otel_semconvprocessor_spark.operators.route import SINKS, write_per_sink_tables
+from otel_semconvprocessor_spark.operators.rules import apply_rules
+from otel_semconvprocessor_spark.operators.extract import extract_pages_native
+from otel_semconvprocessor_spark.sources.catalog import IcebergCatalog, ParquetDirCatalog
+from otel_semconvprocessor_spark.sources.pages import generate_pages
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return ParquetDirCatalog(str(tmp_path / "warehouse"))
+
+
+def _df(spark, langs):
+    return spark.createDataFrame(
+        [(f"https://e.com/{l}/{i}", l, i) for i, l in enumerate(langs)],
+        "url string, lang string, v long",
+    )
+
+
+def test_create_or_replace_and_read(spark, cat):
+    cat.create_or_replace(_df(spark, ["en", "de"]), "t1", ["lang"])
+    assert cat.read(spark, "t1").count() == 2
+    cat.create_or_replace(_df(spark, ["fr"]), "t1", ["lang"])
+    assert {r["lang"] for r in cat.read(spark, "t1").collect()} == {"fr"}
+
+
+def test_append(spark, cat):
+    cat.create_or_replace(_df(spark, ["en"]), "t2", ["lang"])
+    cat.append(_df(spark, ["de"]), "t2", ["lang"])
+    assert cat.read(spark, "t2").count() == 2
+
+
+def test_overwrite_partitions_is_dynamic(spark, cat):
+    cat.create_or_replace(_df(spark, ["en", "de"]), "t3", ["lang"])
+    # overwrite only the 'en' partition; 'de' must survive
+    cat.overwrite_partitions(_df(spark, ["en", "en"]), "t3", ["lang"])
+    rows = cat.read(spark, "t3").groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    assert counts == {"en": 2, "de": 1}
+
+
+def test_write_per_sink_tables_through_catalog(spark, cat):
+    pages = generate_pages(spark, 300)
+    normalized = apply_rules(extract_pages_native(pages), reference_config()).drop("html", "text")
+    tables = write_per_sink_tables(normalized, catalog=cat)
+    assert set(tables) == set(SINKS)
+    total = sum(cat.read(spark, s).count() for s in SINKS)
+    assert total == 300  # routed-row equality: disjoint + exhaustive
+    # partition layout present (warc_day= / lang= subdirs)
+    import os
+
+    sink_dir = f"{cat.base_path}/sink_http"
+    assert any(d.startswith("warc_day=") for d in os.listdir(sink_dir))
+
+
+def test_iceberg_catalog_identifiers():
+    ic = IcebergCatalog(catalog="prod", namespace="ns")
+    assert ic._ident("sink_http") == "prod.ns.sink_http"
+    # days() transform recognized (construction only — no V2 catalog here)
+    t = ic._transforms(["days(warc_ts)", "lang"])
+    assert len(t) == 2

@@ -34,7 +34,23 @@ __all__ = [
     "hyperplanes",
     "lsh_signature",
     "topk_lsh",
+    "topk_auto",
+    "choose_topk_path",
+    "TOPK_CROSSOVER_PAIRS",
 ]
+
+# Measured crossover (local[8], dim=64, bits=8, tables=4, multiprobe=1):
+#   corpus x queries   brute     lsh      winner
+#   2k  x 10           1.4s      5.8s     brute
+#   2k  x 100          5.7s      6.7s     brute
+#   20k x 10           5.2s      8.0s     brute
+#   20k x 100          63.2s     8.9s     lsh (7x)
+#   100k x 10          26.6s     19.8s    lsh
+#   100k x 100         312s      21.1s    lsh (15x)
+# Brute cost ~ |C|x|Q| scores; LSH pays a fixed |C| x tables x bits signature
+# map plus ~|C|x|Q| x tables/2^bits candidate scores, so the boundary sits
+# near |C| x |Q| ~= 1e6 pairs for these defaults.
+TOPK_CROSSOVER_PAIRS = 1_000_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -131,6 +147,45 @@ def topk_brute_force_pandas(
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
     return _rank_topk(scored, k, query_id, id_col)
+
+
+def choose_topk_path(n_corpus: int, n_queries: int, crossover: int = TOPK_CROSSOVER_PAIRS) -> str:
+    """'brute' below the measured crossover (exact, zero tuning), 'lsh'
+    above it (approximate, ~constant in |Q| for fixed selectivity)."""
+    return "lsh" if n_corpus * n_queries >= crossover else "brute"
+
+
+def topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_corpus: int | None = None,
+    n_queries: int | None = None,
+    crossover: int = TOPK_CROSSOVER_PAIRS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    bits: int = 8,
+    tables: int = 4,
+    multiprobe: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Auto-pick brute-force vs hyperplane-LSH by the measured |corpus| x
+    |queries| crossover (see TOPK_CROSSOVER_PAIRS).  Pass ``n_corpus`` /
+    ``n_queries`` when known to skip the count() scans (parquet counts are
+    footer-stat cheap, but a known cardinality is free)."""
+    n_c = n_corpus if n_corpus is not None else corpus.count()
+    n_q = n_queries if n_queries is not None else queries.count()
+    if choose_topk_path(n_c, n_q, crossover) == "lsh":
+        return topk_lsh(
+            corpus, queries, k,
+            bits=bits, tables=tables, multiprobe=multiprobe, dim=dim,
+            id_col=id_col, vec_col=vec_col, query_id=query_id,
+        )
+    return topk_brute_force(
+        corpus, queries, k, id_col=id_col, vec_col=vec_col, query_id=query_id
+    )
 
 
 def hyperplanes(dim: int, bits: int, seed: str = "lsh") -> list[list[float]]:

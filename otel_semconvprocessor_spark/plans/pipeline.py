@@ -67,16 +67,25 @@ def build_normalized(
     extractor: str = "pandas",
     with_mappings: bool = True,
     with_dims: bool = True,
+    mappings_df: DataFrame | None = None,
+    dims: list[tuple[DataFrame, str]] | None = None,
 ) -> DataFrame:
-    """The full transform plan, unexecuted (lazy)."""
+    """The full transform plan, unexecuted (lazy).
+
+    ``mappings_df`` / ``dims`` let a long-lived driver (or the bench's timed
+    region) build the tiny broadcast tables ONCE and reuse them across runs —
+    their createDataFrame + local aggregation is a fixed per-plan driver cost
+    otherwise."""
     cfg = cfg or reference_config()
     extract = extract_pages if extractor == "pandas" else extract_pages_native
     df = extract(pages)
     if with_mappings:
-        df = apply_semconv_mappings(df, mappings_table(spark, default_semconv_mappings()))
+        if mappings_df is None:
+            mappings_df = mappings_table(spark, default_semconv_mappings())
+        df = apply_semconv_mappings(df, mappings_df)
     df = insert_attrs_if_absent(df, RESOURCE_ATTRS)
     if with_dims:
-        df = join_dims(df, (lang_dim(spark), "lang"))
+        df = join_dims(df, *(dims if dims is not None else [(lang_dim(spark), "lang")]))
     return apply_rules(df, cfg)
 
 

@@ -208,3 +208,26 @@ def test_quality_tokens_staging_parity(spark, docs):
     d = docs.select("doc_id", ws_tokens("text").alias("__toks"))
     staged = d.select("doc_id", stopword_ratio(tokens=F.col("__toks")).alias("r")).collect()
     assert {r["doc_id"]: r["r"] for r in unstaged} == {r["doc_id"]: r["r"] for r in staged}
+
+
+def test_topk_auto_picks_by_crossover(spark, sf01_dir):
+    from otel_semconvprocessor_spark.operators.similarity import (
+        choose_topk_path,
+        topk_auto,
+        topk_brute_force,
+    )
+
+    assert choose_topk_path(2_000, 10) == "brute"
+    assert choose_topk_path(20_000, 100) == "lsh"
+    assert choose_topk_path(100_000, 10) == "lsh"
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    # small regime: auto == exact brute force
+    auto = {(r["query_id"], r["rank"]): r["vec_id"] for r in topk_auto(emb, q, k=5).collect()}
+    brute = {(r["query_id"], r["rank"]): r["vec_id"] for r in topk_brute_force(emb, q, k=5).collect()}
+    assert auto == brute
+    # forced-lsh regime still returns k rows per query
+    lsh = topk_auto(emb, q, k=5, crossover=1, dim=64)
+    counts = {r["query_id"]: r["n"] for r in
+              lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 5 for n in counts.values())

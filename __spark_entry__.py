@@ -47,7 +47,12 @@ from otel_semconvprocessor_spark.operators.metrics import cardinality_summary, r
 from otel_semconvprocessor_spark.operators.route import sink_expr
 from otel_semconvprocessor_spark.operators.rules import apply_rules
 from otel_semconvprocessor_spark.operators.rules_broadcast import apply_rules_broadcast
-from otel_semconvprocessor_spark.operators.similarity import cosine, hyperplanes, topk_lsh
+from otel_semconvprocessor_spark.operators.similarity import (
+    cosine,
+    embedding_near_dup_pairs,
+    hyperplanes,
+    topk_lsh,
+)
 from otel_semconvprocessor_spark.operators.text import (
     lang_id,
     mean_token_len,
@@ -313,6 +318,34 @@ def _q_topk_lsh(spark, sf_dir):
     return topk_lsh(emb, q, k=10, bits=8, tables=4, multiprobe=1, dim=64)
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    """Training op: embedding-cosine near-dup pairs (vector dedup).
+
+    The raw embeddings are near-orthogonal (max pair cosine 0.51 at sf0.01),
+    so the corpus is derived: each vector is unioned with a deterministically
+    perturbed copy (integer-derived noise, identical arithmetic in both
+    engines) at vec_id+100000 — the operator must recover exactly the
+    (original, perturbed) pairs via LSH bucketing + exact cosine verify."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    vid = F.col("vec_id")
+    noise_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.try_element_at(F.col("embedding"), i + 1).cast("double")
+        + (((vid * 31 + i) % 7 - 3).cast("double") * F.lit(0.01)),
+    )
+    # the HOF lambda must not share a projection with a REPLACED vec_id /
+    # embedding (Spark resolves lambda refs against the new columns — the
+    # pyspark-pitfalls lambda-resolution hazard): perturb via an ADDED
+    # column first, rename after.
+    pert = (
+        emb.withColumn("__pert", noise_vec)
+        .select((vid + 100000).alias("vec_id"), F.col("__pert").alias("embedding"))
+    )
+    corpus = base.unionByName(pert)
+    return embedding_near_dup_pairs(corpus, threshold=0.98, bits=8, tables=4, dim=64)
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Training op: brute-force cosine top-k (queries = vec_id < 5)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -345,6 +378,53 @@ def _q_embedding_label_stats(spark, sf_dir):
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(norm), 4).alias("avg_norm"),
+    )
+
+
+def _q_streaming_cascade_counts(spark, sf_dir):
+    """Streaming twin with a REAL oracle: the documents table consumed as a
+    file-source stream, derived to spans (same dialect-neutral SQL), run
+    through the cascade, drained with availableNow into a parquet sink, then
+    aggregated batch-side.  Streaming and batch must agree exactly — the
+    oracle is the same CASE cascade the batch queries check against."""
+    import tempfile
+
+    from otel_semconvprocessor_spark.sources.docspans import ATTR_COLS, doc_spans_sql
+
+    out = tempfile.mkdtemp(prefix="semconv-stream-oracle-")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    # the file-stream source requires a DIRECTORY path; select the single
+    # table file out of the sf dir with a glob filter
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    sdf.createOrReplaceTempView("__stream_documents")
+    wide = spark.sql(doc_spans_sql("__stream_documents"))
+    entries = [
+        F.struct(F.lit(key).alias("key"), F.col(col).alias("value"))
+        for col, key in ATTR_COLS.items()
+    ]
+    attrs = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    )
+    spans = wide.select("doc_id", "name", "kind", attrs.alias("attrs"))
+    normalized = apply_rules(spans, reference_config())
+    q = (
+        normalized.select("doc_id", "rule_id")
+        .writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out}/data")
+        .groupBy(F.coalesce(F.col("rule_id"), F.lit("<none>")).alias("rule_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -388,8 +468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "topk_lsh": _q_topk_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_stats": _q_embedding_label_stats,
+        "streaming_cascade_counts": _q_streaming_cascade_counts,
         "events_route_counts": _q_events_route_counts,
         "events_daily": _q_events_daily,
     }
@@ -664,6 +746,38 @@ ranked AS (
 SELECT query_id, vec_id, round(score, 6) AS score, rank FROM ranked WHERE rank <= {k}"""
 
 
+def _embedding_near_dups_oracle(threshold: float = 0.98, bits: int = 8, tables: int = 4) -> str:
+    """Derived corpus (originals + deterministically perturbed copies), LSH
+    bucket candidates, exact cosine verify — mirrors _q_embedding_near_dups
+    arithmetic op-for-op."""
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)) > 0"
+        " THEN list_dot_product(va, vb)"
+        " / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))"
+        " ELSE 0.0 END"
+    )
+    banded = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, 't{t}:' || {_lsh_sig_sql('embedding', t, bits)} AS sig FROM corpus"
+        for t in range(tables)
+    )
+    return f"""WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(64), i -> CAST(embedding[i + 1] AS DOUBLE)
+           + CAST(((vec_id * 31 + i) % 7) - 3 AS DOUBLE) * 0.01) AS embedding
+  FROM embeddings
+),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM banded a JOIN banded b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (SELECT id_a, id_b, {cos} AS cosine FROM cand)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= {threshold}"""
+
+
 def _lang_id_sql() -> str:
     scores = {
         lang: f"len(list_filter({_WORDS}, w -> list_contains({ms}, w)))"
@@ -771,6 +885,7 @@ WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "topk_lsh": _topk_lsh_oracle(),
+        "embedding_near_dups": _embedding_near_dups_oracle(),
         "embedding_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
 ), scored AS (
@@ -788,6 +903,8 @@ SELECT query_id, vec_id, round(score, 4) AS score, rank FROM ranked WHERE rank <
         "embedding_label_stats": """SELECT label, count(*) AS n,
        round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
 FROM embeddings GROUP BY 1""",
+        "streaming_cascade_counts": f"""WITH {_cascade_cte()}
+SELECT coalesce(rule_id, '<none>') AS rule_id, count(*) AS n FROM named GROUP BY 1""",
         "events_route_counts": """SELECT event_type, count(*) AS n,
        round(sum(value), 3) AS total_value, count(DISTINCT user_id) AS users
 FROM events GROUP BY 1""",

@@ -36,6 +36,7 @@ __all__ = [
     "topk_lsh",
     "topk_auto",
     "choose_topk_path",
+    "embedding_near_dup_pairs",
     "TOPK_CROSSOVER_PAIRS",
 ]
 
@@ -185,6 +186,53 @@ def topk_auto(
         )
     return topk_brute_force(
         corpus, queries, k, id_col=id_col, vec_col=vec_col, query_id=query_id
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector twin of the
+    MinHash/SimHash dedup family: candidates share a hyperplane-LSH bucket in
+    at least one of ``tables`` signature tables (collision probability
+    (1 - theta/pi)^bits per table, near 1 for near-parallel vectors), then
+    exact float64 cosine verifies.  The corpus is mapped once (signatures are
+    pure expressions); the only shuffle is the bucket self-join — never
+    all-pairs.  Deterministic md5 hyperplanes keep it oracle-reproducible."""
+    from pyspark import StorageLevel
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig_tagged = [
+        F.concat(F.lit(f"{t}:"), lsh_signature(F.col(vec_col), hyperplanes(dim, bits, seed=f"lsh-{t}")))
+        for t in range(tables)
+    ]
+    banded = df.select(
+        id_col, vec_col, F.explode(F.array(*sig_tagged)).alias("__sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on="__sig")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
 

@@ -231,3 +231,18 @@ def test_topk_auto_picks_by_crossover(spark, sf01_dir):
     counts = {r["query_id"]: r["n"] for r in
               lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n == 5 for n in counts.values())
+
+
+def test_embedding_near_dup_pairs(spark):
+    from otel_semconvprocessor_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = [1.0, 0.5] + [0.25] * 62
+    near = [x + 0.001 for x in base]          # cosine ~1
+    ortho = [1.0 if i % 2 else -1.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, embedding array<double>"
+    )
+    rows = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(df, threshold=0.99, dim=64).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] >= 0.99
+    assert not any(3 in p for p in rows)

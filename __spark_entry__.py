@@ -51,6 +51,7 @@ from otel_semconvprocessor_spark.operators.similarity import (
     cosine,
     embedding_near_dup_pairs,
     hyperplanes,
+    topk_ivf,
     topk_lsh,
 )
 from otel_semconvprocessor_spark.operators.text import (
@@ -318,6 +319,16 @@ def _q_topk_lsh(spark, sf_dir):
     return topk_lsh(emb, q, k=10, bits=8, tables=4, multiprobe=1, dim=64)
 
 
+def _q_topk_ivf(spark, sf_dir):
+    """Training op: IVF (inverted-file) approximate top-k — the coarse-
+    quantizer scale path next to hyperplane LSH.  Seed centroids are
+    md5-ranked data vectors, so the oracle reproduces the full index in
+    SQL (cells, nprobe ranking, candidate scoring)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    return topk_ivf(emb, q, k=10, n_cells=16, nprobe=4)
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Training op: embedding-cosine near-dup pairs (vector dedup).
 
@@ -468,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "topk_lsh": _q_topk_lsh,
+        "topk_ivf": _q_topk_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_stats": _q_embedding_label_stats,
@@ -746,6 +758,63 @@ ranked AS (
 SELECT query_id, vec_id, round(score, 6) AS score, rank FROM ranked WHERE rank <= {k}"""
 
 
+def _topk_ivf_oracle(k: int = 10, n_cells: int = 16, nprobe: int = 4) -> str:
+    """Full IVF index re-derived in SQL: md5-ranked seed centroids, raw-dot
+    (MIP) cell assignment with (dot DESC, cell ASC) tie-break, nprobe probe
+    ranking, exact cosine over candidate cells.  Dots use list_reduce — a
+    sequential left fold matching Spark's F.aggregate exactly."""
+    fold = (
+        "list_reduce(list_transform(range(64), i -> CAST({a}[i + 1] AS DOUBLE)"
+        " * CAST({b}[i + 1] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+    d_ec = fold.format(a="e.embedding", b="c.cvec")
+    cos_num = fold.format(a="cvec_c", b="qvec")
+    cos_na = fold.format(a="cvec_c", b="cvec_c")
+    cos_nb = fold.format(a="qvec", b="qvec")
+    return f"""WITH seeds AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM seeds
+),
+dots AS (
+  SELECT e.vec_id, e.embedding, c.cell, {d_ec} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+cellof AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM dots) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, embedding AS q_embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rn
+    FROM dots WHERE vec_id < 5) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(c.embedding AS DOUBLE[]) AS cvec_c, CAST(q.q_embedding AS DOUBLE[]) AS qvec
+  FROM cellof c JOIN qprobe q ON c.cell = q.cell
+),
+scored AS (
+  SELECT query_id, vec_id,
+         CASE WHEN sqrt({cos_na}) * sqrt({cos_nb}) > 0
+              THEN {cos_num} / (sqrt({cos_na}) * sqrt({cos_nb})) ELSE 0.0 END AS score
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score, 6) AS score, rank FROM ranked WHERE rank <= {k}"""
+
+
 def _embedding_near_dups_oracle(threshold: float = 0.98, bits: int = 8, tables: int = 4) -> str:
     """Derived corpus (originals + deterministically perturbed copies), LSH
     bucket candidates, exact cosine verify — mirrors _q_embedding_near_dups
@@ -885,6 +954,7 @@ WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))
         "minhash_lsh_pairs": _minhash_lsh_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "topk_lsh": _topk_lsh_oracle(),
+        "topk_ivf": _topk_ivf_oracle(),
         "embedding_near_dups": _embedding_near_dups_oracle(),
         "embedding_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5

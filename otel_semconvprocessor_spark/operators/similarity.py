@@ -37,6 +37,9 @@ __all__ = [
     "topk_auto",
     "choose_topk_path",
     "embedding_near_dup_pairs",
+    "seed_centroids",
+    "kmeans_refine",
+    "topk_ivf",
     "TOPK_CROSSOVER_PAIRS",
 ]
 
@@ -148,6 +151,112 @@ def topk_brute_force_pandas(
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
     return _rank_topk(scored, k, query_id, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantizer cells + nprobe search.
+# ---------------------------------------------------------------------------
+
+
+def seed_centroids(
+    corpus: DataFrame, n_cells: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer seeds: the ``n_cells`` corpus vectors
+    ranked first by md5 of their id — a data-dependent but seed-free pick
+    that any engine can reproduce with ORDER BY md5(id) LIMIT k (which is
+    what the DuckDB oracle does).  Cell order = the md5 rank."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def kmeans_refine(
+    corpus_sample: list[list[float]], centroids: list[list[float]], iters: int = 10
+) -> list[list[float]]:
+    """Optional Lloyd refinement of the seed centroids on a driver-side
+    sample (numpy, deterministic: fixed init + iteration count, no RNG).
+    Better cell balance / recall than raw seeds; NOT SQL-reproducible, so
+    the oracle path uses the raw seeds and this is recall-tested in pytest."""
+    import numpy as np
+
+    x = np.asarray(corpus_sample, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    for _ in range(iters):
+        # cosine assignment (normalize both sides)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in c]
+
+
+def _cell_dots(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of raw <vec, centroid_j> dot products.  Assignment is by max
+    INNER PRODUCT, not cosine: raw centroid components stay byte-exact
+    across engines (normalizing on the driver would bake Python's summation
+    order into the literals and flip ulp-close argmax ties in the oracle)."""
+    return F.array(*[dot(vec, F.array(*[F.lit(v) for v in row])) for row in centroids])
+
+
+def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based cell id = argmax centroid inner product (first index wins ties)."""
+    dots = _cell_dots(vec, centroids)
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into ``n_cells``
+    coarse-quantizer cells (argmax centroid cosine, a pure expression over
+    broadcast-free centroid literals — the corpus is scanned once, never
+    shuffled for the index); each query probes its ``nprobe`` closest cells
+    and scores only those cells' members.
+
+    Per-query cost ~ |corpus| x nprobe / n_cells.  Pass ``centroids`` (e.g.
+    kmeans_refine output) for better recall; default = seed_centroids, which
+    the DuckDB oracle reproduces exactly."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col), centroids).alias("__cell")
+    )
+    qdots = _cell_dots(F.col(vec_col), centroids)
+    # nprobe nearest cells: rank (dot desc, cell asc) via array sort on
+    # (-dot, idx) structs, then take the first nprobe indices
+    ranked = F.array_sort(
+        F.zip_with(
+            qdots,
+            F.sequence(F.lit(1), F.lit(len(centroids))),
+            lambda d, i: F.struct((-d).alias("nd"), i.alias("idx")),
+        )
+    )
+    probes = F.slice(F.transform(ranked, lambda s: s["idx"]), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__cell"),
+    )
+    cand = c.join(F.broadcast(q), on="__cell").select(
+        query_id, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("score")
+    )
+    return _rank_topk(cand, k, query_id, id_col)
 
 
 def choose_topk_path(n_corpus: int, n_queries: int, crossover: int = TOPK_CROSSOVER_PAIRS) -> str:

@@ -246,3 +246,49 @@ def test_embedding_near_dup_pairs(spark):
             for r in embedding_near_dup_pairs(df, threshold=0.99, dim=64).collect()}
     assert (1, 2) in rows and rows[(1, 2)] >= 0.99
     assert not any(3 in p for p in rows)
+
+
+def test_topk_ivf_recall_and_refine(spark, sf01_dir):
+    from otel_semconvprocessor_spark.operators.similarity import (
+        kmeans_refine,
+        seed_centroids,
+        topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = {(r["query_id"], r["vec_id"])
+             for r in topk_brute_force(emb, q, k=10).collect()}
+
+    ivf = topk_ivf(emb, q, k=10, n_cells=16, nprobe=8)
+    got = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall  # seed centroids, half the cells probed
+
+    # each query still returns a full k
+    counts = {r["query_id"]: r["n"] for r in
+              ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in counts.values())
+
+    # kmeans-refined centroids: better or equal recall at same nprobe
+    sample = [[float(x) for x in r["embedding"]]
+              for r in emb.limit(256).collect()]
+    seeds = seed_centroids(emb, 16)
+    refined = kmeans_refine(sample, seeds, iters=5)
+    ivf2 = topk_ivf(emb, q, k=10, n_cells=16, nprobe=8, centroids=refined)
+    got2 = {(r["query_id"], r["vec_id"]) for r in ivf2.collect()}
+    recall2 = len(got2 & truth) / len(truth)
+    assert recall2 >= recall - 0.1, (recall, recall2)
+
+
+def test_topk_ivf_plan_shape(spark, sf01_dir):
+    """Cell assignment must be pure expression work over the single corpus
+    scan — the only exchanges allowed are the probe join's broadcast and the
+    final top-k window."""
+    from otel_semconvprocessor_spark.operators.similarity import topk_ivf
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = topk_ivf(emb, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -217,6 +217,130 @@ def _q_semconv_mapping_rows(spark, sf_dir):
     )
 
 
+# Dialect-neutral OTLP/JSON derivation: both engines build the IDENTICAL
+# JSON text per document; Spark then parses it through the REAL receiver
+# flattening (sources/otlp_json.spans_from_otlp_df) while the oracle reads
+# fixed JSON paths — fully independent machinery on each side.
+_OTLP_DERIVE = """SELECT doc_id,
+  '{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-'
+  || CAST(doc_id % 4 AS STRING)
+  || '"}}]},"scopeSpans":[{"scope":{"name":"oracle"},"spans":[{"traceId":"'
+  || md5(CAST(doc_id AS STRING))
+  || '","spanId":"' || substr(md5(CAST(doc_id AS STRING)), 1, 16)
+  || '","name":"op-' || CAST(doc_id % 50 AS STRING)
+  || '","kind":' || CAST(doc_id % 6 AS STRING)
+  || ',"attributes":[{"key":"http.method","value":{"stringValue":"'
+  || CASE doc_id % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' WHEN 2 THEN 'PUT' ELSE 'DELETE' END
+  || '"}},{"key":"retry.count","value":{"intValue":"' || CAST(doc_id % 3 AS STRING)
+  || '"}}]}]}]}]}' AS j
+FROM __SRC__"""
+
+
+def _q_otlp_ingest_rows(spark, sf_dir):
+    """S1: the OTLP/JSON receiver surface — derived JSON documents parsed
+    through the real 3-level flatten (resourceSpans -> scopeSpans -> spans,
+    kv lists -> map, kind enum -> string)."""
+    from pyspark.sql import types as T
+
+    from otel_semconvprocessor_spark.sources.otlp_json import spans_from_otlp_df
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "__otlp_documents"
+    )
+    jdf = spark.sql(_OTLP_DERIVE.replace("__SRC__", "__otlp_documents"))
+    value_t = T.StructType(
+        [T.StructField("stringValue", T.StringType()), T.StructField("intValue", T.StringType())]
+    )
+    kv_t = T.ArrayType(
+        T.StructType([T.StructField("key", T.StringType()), T.StructField("value", value_t)])
+    )
+    otlp_schema = T.StructType(
+        [
+            T.StructField(
+                "resourceSpans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "resource",
+                                T.StructType([T.StructField("attributes", kv_t)]),
+                            ),
+                            T.StructField(
+                                "scopeSpans",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "scope",
+                                                T.StructType(
+                                                    [T.StructField("name", T.StringType())]
+                                                ),
+                                            ),
+                                            T.StructField(
+                                                "spans",
+                                                T.ArrayType(
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField("traceId", T.StringType()),
+                                                            T.StructField("spanId", T.StringType()),
+                                                            T.StructField("name", T.StringType()),
+                                                            T.StructField("kind", T.LongType()),
+                                                            T.StructField("attributes", kv_t),
+                                                        ]
+                                                    )
+                                                ),
+                                            ),
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    raw = jdf.select(F.from_json("j", otlp_schema).alias("r")).select("r.*")
+    spans = spans_from_otlp_df(raw)
+    return spans.select(
+        "trace_id",
+        "span_id",
+        "name",
+        "kind",
+        F.try_element_at(F.col("attrs"), F.lit("http.method")).alias("method"),
+        F.try_element_at(F.col("attrs"), F.lit("retry.count")).alias("retries"),
+        F.try_element_at(F.col("resource"), F.lit("service.name")).alias("service"),
+        "scope_name",
+    )
+
+
+def _q_resource_attrs_rows(spark, sf_dir):
+    """S6: resource-processor insert-if-absent — a never-present key is
+    always added, a sometimes-present key is preserved where it exists."""
+    from otel_semconvprocessor_spark.operators.enrich import insert_attrs_if_absent
+
+    w = doc_spans(spark, sf_dir)
+    out = insert_attrs_if_absent(
+        w, {"collector.name": "otel-semconv-spark", "http.route": "default-route"}
+    )
+    return out.select(
+        "doc_id",
+        attr("attrs", "collector.name").alias("collector_name"),
+        attr("attrs", "http.route").alias("route_attr"),
+    )
+
+
+def _q_duration_histogram(spark, sf_dir):
+    """M3: processing-duration histogram over the reference's bucket
+    boundaries (metadata.yaml:54-62), durations derived deterministically."""
+    from otel_semconvprocessor_spark.operators.exporters import duration_histogram
+
+    d = _docs(spark, sf_dir).select(
+        ((F.col("doc_id") % 997).cast("double") / F.lit(9.0)).alias("duration_ms")
+    )
+    return duration_histogram(d)
+
+
 def _q_dedup_exact_groups(spark, sf_dir):
     """Training op: exact hash dedup groups."""
     return exact_dedup_groups(_docs(spark, sf_dir))
@@ -469,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_non_nil_rows": _q_first_non_nil_rows,
         "span_kind_counts": _q_span_kind_counts,
         "semconv_mapping_rows": _q_semconv_mapping_rows,
+        "otlp_ingest_rows": _q_otlp_ingest_rows,
+        "resource_attrs_rows": _q_resource_attrs_rows,
+        "duration_histogram": _q_duration_histogram,
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_normalized_groups": _q_dedup_normalized_groups,
         "minhash_signatures": _q_minhash_signatures,
@@ -918,6 +1045,34 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 1 THEN method_old ELSE method_new END AS method_new_key,
        CAST(NULL AS VARCHAR) AS method_old_key
 FROM ev""",
+        "otlp_ingest_rows": (
+            lambda sp="$.resourceSpans[0].scopeSpans[0].spans[0]": f"""WITH jd AS ({_OTLP_DERIVE.replace("__SRC__", "documents").replace(" AS STRING", " AS VARCHAR")})
+SELECT json_extract_string(j, '{sp}.traceId') AS trace_id,
+       json_extract_string(j, '{sp}.spanId') AS span_id,
+       json_extract_string(j, '{sp}.name') AS name,
+       CASE CAST(json_extract(j, '{sp}.kind') AS INT)
+         WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal' WHEN 2 THEN 'server'
+         WHEN 3 THEN 'client' WHEN 4 THEN 'producer' WHEN 5 THEN 'consumer'
+         ELSE 'unspecified' END AS kind,
+       json_extract_string(j, '{sp}.attributes[0].value.stringValue') AS method,
+       json_extract_string(j, '{sp}.attributes[1].value.intValue') AS retries,
+       json_extract_string(j, '$.resourceSpans[0].resource.attributes[0].value.stringValue') AS service,
+       json_extract_string(j, '$.resourceSpans[0].scopeSpans[0].scope.name') AS scope_name
+FROM jd"""
+        )(),
+        "resource_attrs_rows": f"""WITH {_SPANS}
+SELECT doc_id, 'otel-semconv-spark' AS collector_name,
+       coalesce(http_route, 'default-route') AS route_attr
+FROM ev""",
+        "duration_histogram": (
+            lambda buckets=[0.01, 0.05, 0.1, 0.5, 1.0, 5.0, 10.0, 50.0, 100.0]: (
+                "WITH d AS (SELECT CAST(doc_id % 997 AS DOUBLE) / 9.0 AS dm FROM documents)\n"
+                "SELECT CASE "
+                + " ".join(f"WHEN dm <= {le} THEN {le}" for le in buckets)
+                + " ELSE CAST('infinity' AS DOUBLE) END AS bucket_le, count(*) AS n\n"
+                "FROM d GROUP BY 1"
+            )
+        )(),
         "dedup_exact_groups": """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
        count(*) AS n_docs FROM documents GROUP BY 1""",
         "dedup_normalized_groups": """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,

@@ -236,6 +236,58 @@ _OTLP_DERIVE = """SELECT doc_id,
 FROM __SRC__"""
 
 
+# Dialect-neutral page-text derivation: both engines build the IDENTICAL
+# telemetry text per document; Spark runs the REAL extraction (the
+# north_star-mandated Arrow-batched pandas UDF) while the oracle re-derives
+# the expected fields directly from the same arithmetic.  Rows with
+# doc_id % 11 = 0 omit the span.name line (the extraction-error corpus).
+_PAGES_DERIVE = """SELECT doc_id,
+  'https://ex' || CAST(doc_id % 50 AS STRING) || '.com/p/' || CAST(doc_id AS STRING) AS url,
+  CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'span.name: op-' || CAST(doc_id % 83 AS STRING) || chr(10) END
+  || 'span.kind: ' || CASE doc_id % 3 WHEN 0 THEN 'server' WHEN 1 THEN 'client' ELSE 'internal' END || chr(10)
+  || CASE WHEN doc_id % 5 < 2 THEN 'http.request.method: ' ||
+       (CASE doc_id % 2 WHEN 0 THEN 'GET' ELSE 'POST' END) || chr(10) ELSE '' END
+  || 'page.id: ' || CAST(doc_id AS STRING) AS text
+FROM __SRC__"""
+
+
+def _derived_pages(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "__pages_documents"
+    )
+    return spark.sql(_PAGES_DERIVE.replace("__SRC__", "__pages_documents")).withColumn(
+        "html", F.lit(None).cast("binary")
+    )
+
+
+def _q_extract_pandas_rows(spark, sf_dir):
+    """Parse stage (north_star pandas UDF): derived telemetry text run
+    through the real Arrow-batched extraction; the oracle re-derives every
+    field from the shared arithmetic — independent of the regex machinery."""
+    from otel_semconvprocessor_spark.operators.extract import extract_pages
+
+    out = extract_pages(_derived_pages(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "name",
+        "kind",
+        "domain",
+        attr("attrs", "http.request.method").alias("method"),
+        attr("attrs", "page.id").alias("page_id"),
+    )
+
+
+def _q_extraction_errors(spark, sf_dir):
+    """M8: extraction-error counter — rows whose parse produced no span
+    name (the doc_id % 11 = 0 family omits the span.name line)."""
+    from otel_semconvprocessor_spark.operators.exporters import extraction_error_count
+    from otel_semconvprocessor_spark.operators.extract import extract_pages_native
+
+    out = extraction_error_count(extract_pages_native(_derived_pages(spark, sf_dir)))
+    # "rows" is a window keyword in DuckDB — neutral alias on both sides
+    return out.select("errors", F.col("rows").alias("n_rows"))
+
+
 def _q_otlp_ingest_rows(spark, sf_dir):
     """S1: the OTLP/JSON receiver surface — derived JSON documents parsed
     through the real 3-level flatten (resourceSpans -> scopeSpans -> spans,
@@ -593,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_non_nil_rows": _q_first_non_nil_rows,
         "span_kind_counts": _q_span_kind_counts,
         "semconv_mapping_rows": _q_semconv_mapping_rows,
+        "extract_pandas_rows": _q_extract_pandas_rows,
+        "extraction_errors": _q_extraction_errors,
         "otlp_ingest_rows": _q_otlp_ingest_rows,
         "resource_attrs_rows": _q_resource_attrs_rows,
         "duration_histogram": _q_duration_histogram,
@@ -1045,6 +1099,17 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 1 THEN method_old ELSE method_new END AS method_new_key,
        CAST(NULL AS VARCHAR) AS method_old_key
 FROM ev""",
+        "extract_pandas_rows": f"""WITH jd AS ({_PAGES_DERIVE.replace("__SRC__", "documents").replace(" AS STRING", " AS VARCHAR")})
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE 'op-' || CAST(doc_id % 83 AS VARCHAR) END AS name,
+       CASE doc_id % 3 WHEN 0 THEN 'server' WHEN 1 THEN 'client' ELSE 'internal' END AS kind,
+       'ex' || CAST(doc_id % 50 AS VARCHAR) || '.com' AS domain,
+       CASE WHEN doc_id % 5 < 2 THEN CASE doc_id % 2 WHEN 0 THEN 'GET' ELSE 'POST' END END AS method,
+       CAST(doc_id AS VARCHAR) AS page_id
+FROM jd""",
+        "extraction_errors": """SELECT CAST(count(*) FILTER (doc_id % 11 = 0) AS BIGINT) AS errors,
+       count(*) AS n_rows FROM documents""",
         "otlp_ingest_rows": (
             lambda sp="$.resourceSpans[0].scopeSpans[0].spans[0]": f"""WITH jd AS ({_OTLP_DERIVE.replace("__SRC__", "documents").replace(" AS STRING", " AS VARCHAR")})
 SELECT json_extract_string(j, '{sp}.traceId') AS trace_id,

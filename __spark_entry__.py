@@ -568,6 +568,38 @@ def _q_embedding_label_stats(spark, sf_dir):
     )
 
 
+def _q_multimodal_frame_plan(spark, sf_dir):
+    """Multimodal: the metadata-only frame-sampling plan — computes which
+    timestamps WOULD be decoded per video from the typed meta struct alone
+    (the blob column is present but never read; pruning is plan-gated in
+    tests/test_multimodal.py)."""
+    from otel_semconvprocessor_spark.operators.multimodal import frame_sample_plan
+
+    d = _docs(spark, sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = d.select(
+        F.md5(F.col("doc_id").cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("bytes"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            ((F.col("doc_id") % 59) * 997 + 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    fp = frame_sample_plan(media, every_ms=1000)
+    return fp.select(
+        "media_id",
+        F.size("sample_ts_ms").alias("n_samples"),
+        F.try_element_at("sample_ts_ms", F.lit(2)).alias("second_ts"),
+    )
+
+
 def _q_streaming_cascade_counts(spark, sf_dir):
     """Streaming twin with a REAL oracle: the documents table consumed as a
     file-source stream, derived to spans (same dialect-neutral SQL), run
@@ -664,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_stats": _q_embedding_label_stats,
+        "multimodal_frame_plan": _q_multimodal_frame_plan,
         "streaming_cascade_counts": _q_streaming_cascade_counts,
         "events_route_counts": _q_events_route_counts,
         "events_daily": _q_events_daily,
@@ -1193,6 +1226,13 @@ SELECT query_id, vec_id, round(score, 4) AS score, rank FROM ranked WHERE rank <
         "embedding_label_stats": """SELECT label, count(*) AS n,
        round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
 FROM embeddings GROUP BY 1""",
+        "multimodal_frame_plan": """WITH m AS (
+  SELECT md5(CAST(doc_id AS VARCHAR)) AS media_id,
+         CAST(floor(((doc_id % 59) * 997 + 1000) / 1000.0) AS INT) + 1 AS n
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, n AS n_samples,
+       CASE WHEN n >= 2 THEN 1000 END AS second_ts
+FROM m""",
         "streaming_cascade_counts": f"""WITH {_cascade_cte()}
 SELECT coalesce(rule_id, '<none>') AS rule_id, count(*) AS n FROM named GROUP BY 1""",
         "events_route_counts": """SELECT event_type, count(*) AS n,

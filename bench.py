@@ -24,7 +24,7 @@ Env knobs:
   SPARK_GRAFT_CPUS        full-width level for headline throughput (default 32)
   SPARK_GRAFT_BENCH_LOW   scaling-pair low level (default 2; high = 4*low)
   SPARK_GRAFT_BENCH_ROWS  synthetic pages rows (default 2000000)
-  SPARK_GRAFT_BENCH_WARMS warm samples per spawn (default 2)
+  SPARK_GRAFT_BENCH_WARMS warm samples per spawn (default 3)
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # of the local[8] wall.
 ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
 LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
-WARMS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMS", "2"))
+WARMS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMS", "3"))
 
 
 def cpu_calibration(low: int, high: int) -> dict:
@@ -339,11 +339,11 @@ def write_baseline_md(
         f"**Scaling efficiency N->{ratio}N = rate_{ratio}N / ({ratio} x rate_N) = {eff:.3f}**"
         f" (north_rule target >= 0.8)",
         "",
-        "The published efficiency is the best ADJACENT (L,H) spawn pair —"
-        " both levels sampled in the same few-minute host window; up to two"
-        " more pairs are taken while the gate is missed and the time budget"
-        " allows (shared-host load noise is strictly additive, so a quiet"
-        f" window is the capability).  Per-pair efficiencies: {pair_effs}."
+        "The published efficiency is the MEDIAN over all warm samples per"
+        " level (>= 3 per level per spawn pair, both levels sampled in the"
+        " same few-minute host window; up to two more pairs are taken while"
+        " the gate is missed and the time budget allows).  Best adjacent"
+        f" pair (min-of-warms): {pair_effs}."
         f"  All warm samples: low = {low_walls},"
         f" high = {high_walls}.  Steady state needs several runs (C2"
         " compilation keeps landing through run ~4: measured 20.0 -> 13.9 ->"
@@ -408,6 +408,13 @@ def main() -> None:
                 (high_cores / low_cores) * (ROWS / min(lo["warm_walls"]))
             )
 
+        def _median_eff() -> float:
+            low_w = [w for r in lows for w in r["warm_walls"]]
+            high_w = [w for r in highs for w in r["warm_walls"]]
+            return (ROWS / statistics.median(high_w)) / (
+                (high_cores / low_cores) * (ROWS / statistics.median(low_w))
+            )
+
         for _ in range(3):
             t_pair = time.time()
             lows.append(_spawn("pipeline", low_cores, out_dir, warms=WARMS))
@@ -417,15 +424,17 @@ def main() -> None:
             # adaptive retry budget: retry only when another pair of the
             # just-measured cost plus the remaining stages (~350s: full-width
             # + calibration + operator benches) still fits the driver window
-            if max(pair_effs) >= 0.8 or (time.time() - t_start) + pair_cost + 350 > 1150:
+            if _median_eff() >= 0.8 or (time.time() - t_start) + pair_cost + 350 > 1200:
                 break
-        best = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
-        eff = pair_effs[best]
+        # primary estimator: MEDIAN over all warm samples per level (>= 3
+        # per level from one spawn pair) — robust to single loaded-host
+        # outliers on either side; the best adjacent pair (min-of-warms) is
+        # published alongside
+        eff = _median_eff()
+        eff_best_pair = max(pair_effs)
         low_walls = sorted(w for r in lows for w in r["warm_walls"])
         high_walls = sorted(w for r in highs for w in r["warm_walls"])
-        eff_median = (ROWS / statistics.median(high_walls)) / (
-            (high_cores / low_cores) * (ROWS / statistics.median(low_walls))
-        )
+        best = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
         low, high = lows[best], highs[best]
         # headline throughput at full machine width
         full = _spawn("pipeline", CPUS, out_dir, warms=2)
@@ -440,7 +449,7 @@ def main() -> None:
             f"docs_per_sec_local{high_cores}": round(high["docs_per_sec"], 1),
             f"docs_per_sec_local{CPUS}": round(full["docs_per_sec"], 1),
             "scaling_efficiency": round(eff, 3),
-            "scaling_efficiency_median": round(eff_median, 3),
+            "scaling_efficiency_best_pair": round(eff_best_pair, 3),
             **{f"scaling_eff_pair{i}": v for i, v in enumerate(pair_effs)},
             "hw_ceiling_efficiency": round(hw["hw_ceiling_efficiency"], 3),
             "efficiency_vs_hw_ceiling": round(

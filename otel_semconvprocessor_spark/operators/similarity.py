@@ -4,8 +4,8 @@
     set against the corpus, score with native zip_with/aggregate expressions,
     rank per query.  This is the correctness baseline and is already the
     right plan when |queries| is small: the corpus is scanned ONCE, never
-    shuffled; the only shuffle is the per-query top-k (k rows per partition
-    per query after partial aggregation).
+    shuffled; ranking is the two-phase ``_rank_topk`` below, whose only
+    shuffle is ~k rows per (query, Arrow batch).
   * ``topk_brute_force_pandas`` — same semantics via an Arrow-batched
     numpy matmul (vectorized; faster for wide vectors / many queries).
   * ``lsh_hyperplane_buckets`` / ``topk_lsh`` — the scale path: deterministic
@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -75,13 +75,60 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _rank_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> DataFrame:
-    w = Window.partitionBy(query_id).orderBy(
-        F.desc("score"), F.col(id_col).asc()
+    """Two-phase top-k over a scored candidate frame.
+
+    Phase 1 (narrow, no shuffle): a per-partition partial top-k — each Arrow
+    batch keeps only its best ``k`` rows per query (exact order: score desc,
+    id asc), so at most k rows per (query, batch) survive.  Phase 2 (one slim
+    shuffle of ~k*P rows per query): merge the survivors with a
+    slice(array_sort(collect_list(struct)), 1, k) aggregate and rank by array
+    position.  No task ever materializes a query's full candidate set — the
+    old ``row_number() OVER (PARTITION BY query_id)`` form put |candidates|
+    rows of each query in ONE task, which is a scale-killer when candidates ~
+    |corpus| (brute force) at 10^12 docs.
+
+    Exactness: phase 1 keeps each batch's top-k under the SAME total order
+    the final rank uses, and the global top-k is a subset of the union of
+    per-batch top-k's, so the result is identical to the single-window form
+    (regression-tested + oracle-checked).
+    """
+    fields = {f.name: f.dataType.simpleString() for f in scored.schema.fields}
+    out_schema = f"{query_id} {fields[query_id]}, {id_col} {fields[id_col]}, score double"
+    qcol, icol, kk = query_id, id_col, k  # plain values only in the closure
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(["score", icol], ascending=[False, True], kind="mergesort")
+                .groupby(qcol, sort=False)
+                .head(kk)
+            )
+
+    survivors = scored.select(
+        query_id, id_col, F.col("score").cast("double").alias("score")
+    ).mapInPandas(
+        partial_topk, schema=out_schema
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, id_col, F.round("score", 6).alias("score"), "rank")
+    merged = survivors.groupBy(query_id).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("score")).alias("ns"), F.col(id_col).alias("i"))
+                )
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return merged.select(
+        F.col(query_id), F.posexplode("__top").alias("__r", "__t")
+    ).select(
+        query_id,
+        F.col("__t.i").alias(id_col),
+        F.round(-F.col("__t.ns"), 6).alias("score"),
+        (F.col("__r") + 1).cast("int").alias("rank"),
     )
 
 

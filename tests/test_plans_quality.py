@@ -59,6 +59,29 @@ def test_routed_write_file_count_bounded(spark, sink_path):
     assert n_files <= combos * 2
 
 
+def test_topk_has_no_per_query_window(spark, sf_dir):
+    """Top-k ranking must be the two-phase partial top-k: a per-query
+    row_number window materializes a query's ENTIRE candidate set in one task
+    (|corpus| rows for brute force) — the one plan shape that cannot survive
+    10^12 docs.  Gate: no Window node anywhere in the top-k plan; the partial
+    stage (mapInPandas) and the slim merge aggregate are present instead."""
+    from otel_semconvprocessor_spark.operators.similarity import (
+        topk_brute_force,
+        topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    for fn in (
+        lambda: topk_brute_force(emb, queries, k=5),
+        lambda: topk_lsh(emb, queries, k=5, bits=4, tables=2),
+    ):
+        plan = fn()._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "MapInPandas" in plan, plan
+        assert "partial_collect_list" in plan or "collect_list" in plan, plan
+
+
 def test_predicate_pushdown_to_sink_scan(spark, sink_path):
     """Partition filters prune directories: a single-sink query must not list
     other sinks' files."""

@@ -119,14 +119,23 @@ def minhash_lsh_pairs(
     # lambdas would re-evaluate split()/shingling per lambda per element
     # (Catalyst does not CSE across higher-order-function bodies)
     spread = df.sparkSession.sparkContext.defaultParallelism
-    sig = (
+    # shingle frame persisted ONCE at x1 (not x bands): the verify stage
+    # joins it back by id after candidate dedup
+    sh = (
         df.repartition(spread)  # tiny single-file inputs must still parallelize
         .select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh"))
-        .select(id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sig = sh.select(id_col, minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
+    # banded frame is SLIM — (id, band, 32-char band key) only.  Carrying the
+    # full shingle arrays here (the round-2 shape) duplicated the shingle
+    # payload x bands through the persist AND both shuffle sides of the
+    # self-join; at 100 TB that x(2*bands) payload blowup dominates the whole
+    # job.  Measured persist sizes (sf0.1 documents): old banded 5.1 MB ->
+    # slim banded 0.7 MB (7x) + 3.7 MB x1 shingles, and the pair join now
+    # shuffles ids instead of shingle arrays.
     banded = sig.select(
         id_col,
-        "__sh",
         F.explode(
             F.array(
                 *[
@@ -143,7 +152,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__band"),
-    ).select(id_col, "__sh", F.col("__band.band").alias("band"), F.col("__band.band_key").alias("band_key"))
+    ).select(id_col, F.col("__band.band").alias("band"), F.col("__band.band_key").alias("band_key"))
 
     # the banded frame feeds three plan branches (bucket sizing + both sides
     # of the self-join); without persist the whole shingle+signature pipeline
@@ -166,10 +175,15 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # shingles re-attached by id AFTER candidate dedup: each side's payload
+    # crosses one join, once per candidate — never x bands
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), on="id_a"
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), on="id_b"
     )
     return (
         cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))

@@ -361,17 +361,23 @@ def embedding_near_dup_pairs(
     (1 - theta/pi)^bits per table, near 1 for near-parallel vectors), then
     exact float64 cosine verifies.  The corpus is mapped once (signatures are
     pure expressions); the only shuffle is the bucket self-join — never
-    all-pairs.  Deterministic md5 hyperplanes keep it oracle-reproducible."""
+    all-pairs.  Deterministic md5 hyperplanes keep it oracle-reproducible.
+
+    Payload discipline: the banded frame is SLIM (id + tagged signature);
+    vectors persist once at x1 and re-attach by id only AFTER candidate
+    dedup, so the vector payload never crosses the persist or the self-join
+    shuffle x tables (the round-2 shape did both)."""
     from pyspark import StorageLevel
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
+    vecs = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
     sig_tagged = [
         F.concat(F.lit(f"{t}:"), lsh_signature(F.col(vec_col), hyperplanes(dim, bits, seed=f"lsh-{t}")))
         for t in range(tables)
     ]
-    banded = df.select(
-        id_col, vec_col, F.explode(F.array(*sig_tagged)).alias("__sig")
+    banded = vecs.select(
+        id_col, F.explode(F.array(*sig_tagged)).alias("__sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -380,10 +386,13 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), on="id_a"
+    ).join(
+        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), on="id_b"
     )
     return (
         cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))

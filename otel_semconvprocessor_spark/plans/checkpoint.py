@@ -70,30 +70,65 @@ def completed_chunks(spark: SparkSession, out_path: str) -> set[int]:
     return {r["chunk"] for r in m.select("chunk").distinct().collect()}
 
 
-def chunk_input_files(spark: SparkSession, in_path: str, n_chunks: int) -> list[list[str]]:
-    """Deterministic file->chunk assignment: sorted file list dealt
-    round-robin.  Same input => same chunks on every run and cluster size."""
-    files = sorted(spark.read.parquet(in_path).inputFiles())
+def deal_files(files: list[str], n_chunks: int) -> list[list[str]]:
+    """Pure chunking rule: SORTED file list dealt round-robin.  Same input =>
+    same chunks on every run and cluster size; unit-testable without IO
+    (tests exercise a 10k-file synthetic listing)."""
+    files = sorted(files)
     n = max(1, min(n_chunks, len(files)))
     return [files[i::n] for i in range(n)]
+
+
+def chunk_input_files(spark: SparkSession, in_path: str, n_chunks: int) -> list[list[str]]:
+    """Deterministic file->chunk assignment over the actual input listing."""
+    return deal_files(spark.read.parquet(in_path).inputFiles(), n_chunks)
+
+
+def _is_path_not_found(e: Exception) -> bool:
+    """True only for 'the path does not exist yet' analysis errors — any
+    other read failure (permissions, corruption, transient FS) must NOT
+    silently regenerate the plan: if the input listing drifted meanwhile,
+    chunk ids already marked done in the manifest would map to different
+    files, duplicating or dropping rows on resume."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover - very old pyspark
+        return "Path does not exist" in str(e)
+    if not isinstance(e, AnalysisException):
+        return False
+    ec = ""
+    try:
+        getter = getattr(e, "getCondition", None) or e.getErrorClass
+        ec = getter() or ""
+    except Exception:
+        pass
+    return "PATH_NOT_FOUND" in ec or "Path does not exist" in str(e)
 
 
 def _load_or_create_plan(
     spark: SparkSession, in_path: str, out_path: str, n_chunks: int
 ) -> list[list[str]]:
     """The chunk plan is checkpoint state: computed once at first run,
-    persisted to ``_plan``, and reused verbatim on resume."""
+    persisted to ``_plan`` (ONE ROW PER FILE — a 10^6-file input is a normal
+    10^6-row parquet table, not a multi-megabyte delimited string), and
+    reused verbatim on resume."""
     try:
         rows = spark.read.parquet(f"{out_path}/_plan").collect()
-        plan: dict[int, list[str]] = {r["chunk"]: r["files"].split(";") for r in rows}
-        return [plan[i] for i in range(len(plan))]
-    except Exception:
+    except Exception as e:
+        if not _is_path_not_found(e):
+            raise
         chunks = chunk_input_files(spark, in_path, n_chunks)
         spark.createDataFrame(
-            [(i, ";".join(fs)) for i, fs in enumerate(chunks)],
-            "chunk int, files string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_path}/_plan")
+            [(i, f) for i, fs in enumerate(chunks) for f in fs],
+            "chunk int, file string",
+        ).write.mode("overwrite").parquet(f"{out_path}/_plan")
         return chunks
+    plan: dict[int, list[str]] = {}
+    for r in rows:
+        plan.setdefault(r["chunk"], []).append(r["file"])
+    # file order within a chunk does not affect results; sort for stable
+    # lineage strings
+    return [sorted(plan[i]) for i in range(len(plan))]
 
 
 def run_with_checkpoints(

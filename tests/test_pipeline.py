@@ -309,6 +309,46 @@ def test_checkpoint_rerun_is_noop(spark, pages_path, tmp_path):
     assert read_all_output(spark, out).count() == N
 
 
+def test_deal_files_10k_listing():
+    """The pure chunking rule at production listing scale: 10k files into 64
+    chunks — every file assigned exactly once, chunks balanced to +-1, and
+    the assignment identical regardless of input listing order."""
+    from otel_semconvprocessor_spark.plans.checkpoint import deal_files
+
+    files = [f"s3://bucket/warc/part-{i:05d}.parquet" for i in range(10_000)]
+    chunks = deal_files(files, 64)
+    assert len(chunks) == 64
+    sizes = {len(c) for c in chunks}
+    assert sizes <= {156, 157}
+    flat = [f for c in chunks for f in c]
+    assert sorted(flat) == files and len(set(flat)) == len(files)
+    import random
+
+    shuffled = files[:]
+    random.Random(7).shuffle(shuffled)
+    assert deal_files(shuffled, 64) == chunks  # listing-order independent
+
+
+def test_checkpoint_corrupt_plan_raises_not_regenerates(spark, pages_path, tmp_path):
+    """A non-path-not-found failure reading _plan must PROPAGATE: silently
+    regenerating from the current listing would remap chunk ids already in
+    the manifest to different files (dup/missing rows on resume)."""
+    import os
+
+    out = str(tmp_path / "ckpt-corrupt")
+    with pytest.raises(SimulatedCrash):
+        run_with_checkpoints(spark, pages_path, out, n_chunks=4, fail_after_chunk=0)
+    # corrupt the persisted plan: parquet dir exists but is unreadable
+    plan_dir = f"{out}/_plan"
+    for f in os.listdir(plan_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(plan_dir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        run_with_checkpoints(spark, pages_path, out, n_chunks=4, run_id="resume")
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_checkpoint_dataframe_fallback(spark, pages, tmp_path):
     """In-memory (non-file-backed) inputs hash-chunk and still resume."""
     out = str(tmp_path / "ckpt3")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "sample_hash",
     "debug_sample",
     "write_with_rotation",
     "passthrough",
@@ -28,18 +29,40 @@ __all__ = [
 ]
 
 
+def sample_hash(key, modulus: int, hash_fn: str = "xxhash64"):
+    """Deterministic bucket in [0, modulus) for 1/N sampling.  ``xxhash64``
+    (default) is the fast JVM path; ``md5`` derives the bucket from the first
+    6 hex chars of md5 — slower but reproducible in ANY engine with md5
+    (DuckDB oracle re-derives it with nibble arithmetic)."""
+    col = key if not isinstance(key, str) else F.col(key)
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10).cast("bigint"),
+            F.lit(modulus),
+        )
+    return F.pmod(F.xxhash64(col), F.lit(modulus))
+
+
 def debug_sample(df: DataFrame, sampling_initial: int = 10, sampling_thereafter: int = 100,
-                 key: str | None = None) -> DataFrame:
+                 key: str | None = None, *, hash_fn: str = "xxhash64",
+                 ordered_initial: bool = False) -> DataFrame:
     """Debug-exporter sampling: ``sampling_initial`` rows up front, then ~one
     of every ``sampling_thereafter`` (config.yaml:199-202).
 
     The reference counts rows in arrival order; a distributed engine has no
     arrival order, so 'thereafter' is a deterministic 1/N hash sample on
     ``key`` (default: first column) — same density, no global sort, no
-    shuffle beyond the final dedup."""
+    shuffle beyond the final dedup.  ``ordered_initial`` makes the 'initial'
+    rows deterministic too (the ``sampling_initial`` smallest keys — a
+    TakeOrdered of k rows, not a global sort), which is what the oracle
+    compares; the default keeps the reference's cheaper arbitrary-k peek."""
     key = key or df.columns[0]
-    sampled = df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(sampling_thereafter)) == 0)
-    initial = df.limit(sampling_initial)
+    sampled = df.filter(sample_hash(key, sampling_thereafter, hash_fn) == 0)
+    initial = (
+        df.orderBy(F.col(key).asc()).limit(sampling_initial)
+        if ordered_initial
+        else df.limit(sampling_initial)
+    )
     return initial.unionByName(sampled).dropDuplicates([key])
 
 

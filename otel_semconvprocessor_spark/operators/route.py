@@ -31,6 +31,7 @@ __all__ = [
     "SINKS",
     "assign_sink",
     "route_predicates",
+    "salt_expr",
     "salted_repartition",
     "write_routed_single_pass",
     "write_per_sink_tables",
@@ -62,14 +63,25 @@ def route_predicates() -> dict[str, Column]:
     return {sink: s == sink for sink in SINKS}
 
 
+def salt_expr(source: Column, salt_buckets: int, hash_fn: str = "xxhash64") -> Column:
+    """The deterministic salt bucket: hash(source) % salt_buckets.  Seed-free
+    (rand() would break resume replays).  ``md5`` mode is engine-portable so
+    the bucketization rule itself is DuckDB-oracle-checkable; ``xxhash64``
+    (default) is the fast JVM path used by the writes."""
+    from .exporters import sample_hash
+
+    return sample_hash(source, salt_buckets, hash_fn)
+
+
 def salted_repartition(
-    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16, salt_source: str = "url"
+    df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16,
+    salt_source: str = "url", hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """Repartition on (key, salt) where salt = xxhash64(salt_source) %
-    salt_buckets — deterministic (seed-free rand() would break resume
-    replays), spreads a hot key over salt_buckets tasks."""
-    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
-    return df.repartition(num_partitions, F.col(key), salt)
+    """Repartition on (key, salt) — spreads a hot key over salt_buckets
+    tasks."""
+    return df.repartition(
+        num_partitions, F.col(key), salt_expr(F.col(salt_source), salt_buckets, hash_fn)
+    )
 
 
 def _with_day(df: DataFrame) -> DataFrame:
@@ -119,9 +131,19 @@ def write_per_sink_tables(
     shape, routed through the SinkCatalog abstraction (sources/catalog.py):
     pass an ``IcebergCatalog`` in prod, default ``ParquetDirCatalog`` here.
     Avoids recomputing the extraction UDF per sink (SURVEY.md §4 'the one
-    place naive Spark recomputes')."""
+    place naive Spark recomputes').
+
+    ``mode``: ``overwrite`` (create_or_replace) or ``append`` only — catalog
+    table semantics have no non-destructive 'error'/'ignore' analogue, so any
+    other mode raises instead of silently overwriting.  Returns {sink:
+    catalog table name} (since the catalog refactor; was {sink: path})."""
     from ..sources.catalog import ParquetDirCatalog
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"unsupported mode {mode!r}: write_per_sink_tables supports "
+            "'overwrite' or 'append' (catalog tables have no error/ignore mode)"
+        )
     if catalog is None:
         assert base_path is not None, "pass base_path or a catalog"
         catalog = ParquetDirCatalog(base_path)

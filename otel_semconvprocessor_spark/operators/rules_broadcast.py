@@ -74,8 +74,15 @@ def apply_rules_broadcast(
     ``id_col`` must uniquely identify a span (the first-match resolution
     groups on it).  A rule row with ``schema_url == ""`` is version-wildcard
     and applies to every span; a versioned rule row applies only to spans
-    whose ``schema_url_col`` equals it.  Spans lacking the column (or with
-    NULL) see only wildcard rules.
+    whose ``schema_url_col`` equals it.  Spans with NULL in that column see
+    only wildcard rules.
+
+    If the rule set contains versioned rules and ``schema_url_col`` names a
+    column the frame does not have, that is a caller error (typo'd name, or
+    the column was dropped upstream) and raises — silently degrading to
+    wildcard-only matching would be invisible since the output schema is
+    unchanged.  Pass ``schema_url_col=None`` to opt into wildcard-only
+    matching explicitly.
     """
     if not cfg.enabled or not cfg.span_processing.enabled:
         return df.withColumns(
@@ -99,6 +106,12 @@ def apply_rules_broadcast(
 
     has_schema = schema_url_col is not None and schema_url_col in df.columns
     any_versioned = any(r.schema_url for r in sp.rules)
+    if any_versioned and schema_url_col is not None and not has_schema:
+        raise ValueError(
+            f"rule set has schema_url-versioned rules but column "
+            f"{schema_url_col!r} is not in the input ({df.columns}); pass "
+            "schema_url_col=None to opt into wildcard-only matching"
+        )
 
     # candidate generation: span x applicable rule rows, both joins broadcast
     cand_wild = df.join(F.broadcast(wildcard), how="cross")

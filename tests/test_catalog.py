@@ -60,6 +60,16 @@ def test_write_per_sink_tables_through_catalog(spark, cat):
     assert any(d.startswith("warc_day=") for d in os.listdir(sink_dir))
 
 
+def test_write_per_sink_tables_rejects_unsupported_mode(spark, cat):
+    """'error'/'ignore' must not silently become a full overwrite."""
+    df = _df(spark, ["en"]).withColumn(
+        "warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ).withColumn("operation_type", F.lit("http")).withColumn("rule_id", F.lit("r"))
+    for bad in ("error", "errorifexists", "ignore"):
+        with pytest.raises(ValueError, match="unsupported mode"):
+            write_per_sink_tables(df, catalog=cat, mode=bad)
+
+
 def test_iceberg_catalog_identifiers():
     ic = IcebergCatalog(catalog="prod", namespace="ns")
     assert ic._ident("sink_http") == "prod.ns.sink_http"

@@ -96,6 +96,32 @@ def test_schema_url_keyed_dispatch(spark):
     assert out[4] == ("fallback", "FALLBACK")
 
 
+def test_versioned_rules_missing_schema_col_raises(spark):
+    """A versioned rule set + a frame without the schema_url column is a
+    caller error (silent wildcard-only degradation is invisible); explicit
+    schema_url_col=None opts into wildcard-only."""
+    rule = OTTLRule(
+        id="v", priority=1, schema_url="1.21.0",
+        condition='attributes["x"] != nil', operation_name='"V"',
+    )
+    wild = OTTLRule(
+        id="w", priority=2, condition='attributes["x"] != nil', operation_name='"W"',
+    )
+    cfg = Config(
+        enabled=True,
+        span_processing=SpanProcessingConfig(enabled=True, mode=MODE_ENFORCE, rules=[rule, wild]),
+    )
+    cfg.validate()
+    df = spark.createDataFrame(
+        [(1, "s", "server", {"x": "1"})],
+        "doc_id long, name string, kind string, attrs map<string,string>",
+    )
+    with pytest.raises(ValueError, match="schema_url"):
+        apply_rules_broadcast(df, cfg, id_col="doc_id")
+    out = apply_rules_broadcast(df, cfg, id_col="doc_id", schema_url_col=None).collect()
+    assert out[0]["rule_id"] == "w"  # wildcard-only opt-out still works
+
+
 def test_rules_table_shape(spark):
     cfg = reference_config()
     t = rules_table(spark, cfg)

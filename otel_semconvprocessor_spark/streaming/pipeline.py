@@ -26,6 +26,8 @@ from ..operators.enrich import (
     apply_semconv_mappings,
     default_semconv_mappings,
     insert_attrs_if_absent,
+    join_dims,
+    lang_dim,
     mappings_table,
 )
 from ..operators.extract import extract_pages
@@ -45,13 +47,16 @@ def stream_pages(spark: SparkSession, input_dir: str, max_files_per_trigger: int
 
 
 def streaming_normalized(spark: SparkSession, pages: DataFrame, cfg: Config | None = None) -> DataFrame:
-    """Identical transform chain to plans/pipeline.build_normalized — every
-    stage is stateless or stream-static, so the one definition serves both
-    batch and streaming (tested equal in tests/test_streaming.py)."""
+    """Identical transform chain to plans/pipeline.build_normalized —
+    extraction, broadcast mapping, resource attrs, the stream-static
+    broadcast dims join, and the rule cascade; every stage is stateless or
+    stream-static, so the one definition serves both batch and streaming
+    (tested column-for-column equal in tests/test_streaming.py)."""
     cfg = cfg or reference_config()
     df = extract_pages(pages)
     df = apply_semconv_mappings(df, mappings_table(spark, default_semconv_mappings()))
     df = insert_attrs_if_absent(df, RESOURCE_ATTRS)
+    df = join_dims(df, (lang_dim(spark), "lang"))
     return apply_rules(df, cfg)
 
 

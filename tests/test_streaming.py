@@ -24,16 +24,34 @@ def staged_pages(spark, tmp_path_factory):
 
 
 def test_streaming_matches_batch(spark, staged_pages, tmp_path):
+    """Full-row parity: every output column the batch pipeline produces
+    (including the dims join's lang_name and the attrs map) must come out of
+    the stream identically."""
+    from otel_semconvprocessor_spark.operators.route import assign_sink
+
     out = str(tmp_path / "out")
     q = start_streaming_pipeline(spark, staged_pages, out)
     q.awaitTermination(300)
     got = spark.read.parquet(f"{out}/sinks")
     assert got.count() == N
 
-    batch = build_normalized(spark, spark.read.parquet(staged_pages))
-    b = {r["url"]: (r["rule_id"], r["name"]) for r in batch.select("url", "rule_id", "name").collect()}
-    s = {r["url"]: (r["rule_id"], r["name"]) for r in got.select("url", "rule_id", "name").collect()}
-    assert b == s
+    batch = (
+        assign_sink(build_normalized(spark, spark.read.parquet(staged_pages)))
+        .drop("html", "text")
+        .withColumn("warc_day", F.to_date("warc_ts"))
+    )
+    assert set(batch.columns) == set(got.columns)
+    cols = sorted(batch.columns)
+
+    def as_map(df):
+        rows = {}
+        for r in df.select(*cols).collect():
+            d = r.asDict()
+            d["attrs"] = tuple(sorted((d["attrs"] or {}).items()))
+            rows[d["url"]] = tuple(d[c] for c in cols if c != "attrs") + (d["attrs"],)
+        return rows
+
+    assert as_map(batch) == as_map(got)
 
 
 def test_streaming_incremental_exactly_once(spark, staged_pages, tmp_path):

@@ -663,6 +663,116 @@ def _q_events_daily(spark, sf_dir):
     return e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_debug_sample_rows(spark, sf_dir):
+    """S2: the debug exporter's sampled peek (config.yaml:199-202) —
+    ``sampling_initial`` deterministic head rows + a 1/N hash sample.  md5
+    hash mode + ordered initial so DuckDB re-derives the exact row set."""
+    from otel_semconvprocessor_spark.operators.exporters import debug_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return debug_sample(
+        d, sampling_initial=10, sampling_thereafter=20, key="doc_id",
+        hash_fn="md5", ordered_initial=True,
+    )
+
+
+def _q_rotation_file_bounds(spark, sf_dir):
+    """S3: file exporter rotation == maxRecordsPerFile bound.  A single
+    writer task makes the file count exactly ceil(N/R); the written files are
+    read back and audited (no file over the limit, no row lost)."""
+    import tempfile
+
+    from otel_semconvprocessor_spark.operators.exporters import write_with_rotation
+
+    out = tempfile.mkdtemp(prefix="semconv-rotation-oracle-") + "/data"
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    write_with_rotation(d.coalesce(1), out, max_records_per_file=64)
+    back = spark.read.parquet(out)
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(F.col("n") > 64, 1).otherwise(0)).cast("bigint").alias("files_over_limit"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+    )
+
+
+def _q_passthrough_rows(spark, sf_dir):
+    """S8: metrics/logs pipelines traverse the processor unchanged
+    (processor.go:327-375) — byte-for-byte identity."""
+    from otel_semconvprocessor_spark.operators.exporters import passthrough
+
+    return passthrough(_docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"))
+
+
+def _q_disabled_gate_rows(spark, sf_dir):
+    """R13: enabled=false => identity with a stable output schema
+    (processor.go:122-124/146-148): names untouched, all match columns NULL."""
+    cfg = reference_config()
+    cfg.enabled = False
+    out = apply_rules(doc_spans(spark, sf_dir), cfg)
+    return out.select(
+        "doc_id",
+        F.col("name").alias("final_name"),
+        "rule_id",
+        "operation_name",
+        "operation_type",
+        "name_original",
+    )
+
+
+def _q_lookup_dims_rows(spark, sf_dir):
+    """§2.5 lookup dims: broadcast left-join of the lang dimension — row
+    level, so the join semantics (not just counts) are oracle-checked."""
+    from otel_semconvprocessor_spark.operators.enrich import join_dims, lang_dim
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return join_dims(d, (lang_dim(spark), "lang")).select("doc_id", "lang", "lang_name")
+
+
+def _q_salted_bucket_distribution(spark, sf_dir):
+    """§2.5 skew salting: the deterministic salt-bucket rule itself —
+    hash(doc_id) % 16 in md5 mode (engine-portable; xxhash64 is the fast
+    in-plan default) — applied through the real salted_repartition, then the
+    per-bucket distribution the hot-key spread depends on."""
+    from otel_semconvprocessor_spark.operators.route import salt_expr, salted_repartition
+
+    d = _docs(spark, sf_dir)
+    rep = salted_repartition(
+        d, "lang", 8, salt_buckets=16, salt_source="doc_id", hash_fn="md5"
+    )
+    return (
+        rep.select(salt_expr(F.col("doc_id"), 16, "md5").alias("salt"))
+        .groupBy("salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_checkpoint_manifest_counts(spark, sf_dir):
+    """§2.5 checkpoint/resume: the real chunked pipeline run end-to-end on a
+    staged 4-file input; the lineage manifest must account for every input
+    row exactly once across exactly n_chunks chunk commits."""
+    import tempfile
+
+    from otel_semconvprocessor_spark.plans.checkpoint import read_manifest, run_with_checkpoints
+
+    base = tempfile.mkdtemp(prefix="semconv-ckpt-oracle-")
+    in_path, out = f"{base}/in", f"{base}/out"
+    pages = (
+        _derived_pages(spark, sf_dir)
+        .withColumn("warc_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+        .withColumn("lang", F.lit("en"))
+    )
+    pages.repartition(4).write.mode("overwrite").parquet(in_path)
+    run_with_checkpoints(spark, in_path, out, n_chunks=4, run_id="oracle")
+    m = read_manifest(spark, out)
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("chunks_completed"),
+        F.sum("row_count").cast("bigint").alias("total_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_cascade_rows": _q_rule_cascade_rows,
@@ -700,6 +810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cascade_counts": _q_streaming_cascade_counts,
         "events_route_counts": _q_events_route_counts,
         "events_daily": _q_events_daily,
+        "debug_sample_rows": _q_debug_sample_rows,
+        "rotation_file_bounds": _q_rotation_file_bounds,
+        "passthrough_rows": _q_passthrough_rows,
+        "disabled_gate_rows": _q_disabled_gate_rows,
+        "lookup_dims_rows": _q_lookup_dims_rows,
+        "salted_bucket_distribution": _q_salted_bucket_distribution,
+        "checkpoint_manifest_counts": _q_checkpoint_manifest_counts,
     }
 
 
@@ -1074,6 +1191,19 @@ def _lang_id_sql() -> str:
     return expr
 
 
+def _md5_bucket_sql(col: str, modulus: int) -> str:
+    """hash bucket = int(first 6 hex chars of md5(CAST(col AS VARCHAR))) %
+    modulus — DuckDB re-derivation (nibble arithmetic) of
+    operators.exporters.sample_hash's md5 mode (Spark:
+    conv(substring(md5(...), 1, 6), 16, 10) % N)."""
+    h = f"md5(CAST({col} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({terms}) % {modulus})"
+
+
 def oracle_sql() -> dict[str, str]:
     cascade = _cascade_cte()
     name_original = "CASE WHEN rule_id IS NOT NULL AND name <> operation_name THEN name END"
@@ -1239,4 +1369,30 @@ SELECT coalesce(rule_id, '<none>') AS rule_id, count(*) AS n FROM named GROUP BY
        round(sum(value), 3) AS total_value, count(DISTINCT user_id) AS users
 FROM events GROUP BY 1""",
         "events_daily": """SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1""",
+        "debug_sample_rows": f"""WITH b AS (
+  SELECT doc_id, lang, {_md5_bucket_sql('doc_id', 20)} AS bucket FROM documents
+)
+SELECT DISTINCT doc_id, lang FROM (
+  SELECT doc_id, lang FROM b WHERE bucket = 0
+  UNION ALL
+  SELECT doc_id, lang FROM (SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 10)
+)""",
+        "rotation_file_bounds": """SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS n_files,
+       CAST(0 AS BIGINT) AS files_over_limit, count(*) AS total_rows
+FROM documents""",
+        "passthrough_rows": """SELECT doc_id, lang, source, n_chars FROM documents""",
+        "disabled_gate_rows": f"""WITH {_SPANS}
+SELECT doc_id, name AS final_name, CAST(NULL AS VARCHAR) AS rule_id,
+       CAST(NULL AS VARCHAR) AS operation_name, CAST(NULL AS VARCHAR) AS operation_type,
+       CAST(NULL AS VARCHAR) AS name_original
+FROM ev""",
+        "lookup_dims_rows": """SELECT doc_id, lang,
+       CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+                 WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish'
+                 WHEN 'zh' THEN 'Chinese' END AS lang_name
+FROM documents""",
+        "salted_bucket_distribution": f"""SELECT {_md5_bucket_sql('doc_id', 16)} AS salt, count(*) AS n
+FROM documents GROUP BY 1""",
+        "checkpoint_manifest_counts": """SELECT CAST(4 AS BIGINT) AS chunks_completed,
+       count(*) AS total_rows FROM documents""",
     }

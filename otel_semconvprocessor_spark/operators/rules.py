@@ -138,14 +138,17 @@ def apply_rules(
         )
         if c.name_nullable:
             # name-expr error => skip THIS rule and continue the cascade
-            # (processor.go:244-250).  Evaluate the hit struct ONCE behind the
-            # base predicate and test its op_name field, instead of folding
-            # name_expr.isNotNull() into the predicate and re-evaluating the
-            # (possibly expensive, e.g. ParseSQL) expr in the value: codegen's
-            # conditional subexpression elimination shares `attempt` between
-            # the branch condition and value.
-            attempt = F.when(c.predicate, hit)
-            cascade = F.when(attempt["op_name"].isNotNull(), attempt).otherwise(cascade)
+            # (processor.go:244-250): fold name_expr IS NOT NULL into the
+            # predicate.  The expr appears in both the branch condition and
+            # the value (2 evals on matched rows only); the alternative —
+            # evaluating the hit struct once behind the predicate and testing
+            # its op_name field — was measured 10% SLOWER on the 18-rule 1M-row
+            # cascade (12.30s vs 11.16s min-warm, scripts/cascade_attrib.py):
+            # the nested struct-valued CASE costs codegen more than the rare
+            # re-evaluation saves.
+            cascade = F.when(
+                c.predicate & c.operation_name.isNotNull(), hit
+            ).otherwise(cascade)
         else:
             cascade = F.when(c.predicate, hit).otherwise(cascade)
 

@@ -43,14 +43,16 @@ __all__ = [
     "TOPK_CROSSOVER_PAIRS",
 ]
 
-# Measured crossover (local[8], dim=64, bits=8, tables=4, multiprobe=1):
-#   corpus x queries   brute     lsh      winner
-#   2k  x 10           1.4s      5.8s     brute
-#   2k  x 100          5.7s      6.7s     brute
-#   20k x 10           5.2s      8.0s     brute
-#   20k x 100          63.2s     8.9s     lsh (7x)
-#   100k x 10          26.6s     19.8s    lsh
-#   100k x 100         312s      21.1s    lsh (15x)
+# Measured crossover (dim=64, bits=8, tables=4, multiprobe=1).  Round-3
+# re-measure at local[32] AFTER the norm-precompute (5.2x brute speedup) and
+# two-phase rank — the boundary barely moved because LSH's candidate scoring
+# sped up the same way:
+#   corpus x queries   pairs   brute     lsh      winner
+#   100k x 10          1e6     5.9s      ~19s*    brute   (*sig map dominates)
+#   20k  x 100         2e6     12.4s     5.6s     lsh (2.2x)
+#   100k x 100         1e7     69.5s     20.4s    lsh (3.4x)
+# (round-2 local[8] matrix with the old scorer: 2k x 10 brute 1.4 / lsh 5.8;
+#  20k x 100 brute 63.2 / lsh 8.9; 100k x 100 brute 312 / lsh 21.1.)
 # Brute cost ~ |C|x|Q| scores; LSH pays a fixed |C| x tables x bits signature
 # map plus ~|C|x|Q| x tables/2^bits candidate scores, so the boundary sits
 # near |C| x |Q| ~= 1e6 pairs for these defaults.
@@ -91,6 +93,12 @@ def _rank_topk(scored: DataFrame, k: int, query_id: str, id_col: str) -> DataFra
     the final rank uses, and the global top-k is a subset of the union of
     per-batch top-k's, so the result is identical to the single-window form
     (regression-tested + oracle-checked).
+
+    Measured (scripts/topk_rank_ab.py, 100k corpus x 10 queries, local[32]):
+    window 5.92s vs two-phase 6.11s min-warm — wall parity (+3% Arrow-pass
+    constant) with byte-identical results; the win is boundedness, not
+    small-scale speed: the window form holds |corpus| rows per query in one
+    task (OOM at 10^9+), two-phase never exceeds the Arrow batch + k*P merge.
     """
     fields = {f.name: f.dataType.simpleString() for f in scored.schema.fields}
     out_schema = f"{query_id} {fields[query_id]}, {id_col} {fields[id_col]}, score double"
@@ -145,14 +153,23 @@ def topk_brute_force(
     """Exact top-k: corpus x broadcast(queries); returns
     (query_id, vec_id, score, rank) with deterministic id tie-breaks."""
     q = queries.select(
-        F.col(id_col).alias(query_id), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    scorer = cosine if metric == "cosine" else dot
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        query_id,
-        id_col,
-        scorer(F.col(vec_col), F.col("__qvec")).alias("score"),
-    )
+    # norms precomputed ONCE per vector (corpus side in the scan projection,
+    # query side in the broadcast): cosine() inline would recompute the
+    # corpus norm per query and the query norm per corpus row — 3 dots per
+    # pair instead of 1 (measured 5.2x end-to-end at 100k x 10: 31.0s -> 5.9s)
+    c = corpus.select(id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cn"))
+    if metric == "cosine":
+        denom = F.col("__cn") * F.col("__qn")
+        score = F.when(denom > 0, dot(F.col(vec_col), F.col("__qvec")) / denom).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        score = dot(F.col(vec_col), F.col("__qvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(query_id, id_col, score.alias("score"))
     return _rank_topk(scored, k, query_id, id_col)
 
 
@@ -282,7 +299,10 @@ def topk_ivf(
     if centroids is None:
         centroids = seed_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col), centroids).alias("__cell")
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        assign_cell(F.col(vec_col), centroids).alias("__cell"),
     )
     qdots = _cell_dots(F.col(vec_col), centroids)
     # nprobe nearest cells: rank (dot desc, cell asc) via array sort on
@@ -298,10 +318,16 @@ def topk_ivf(
     q = queries.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.explode(probes).alias("__cell"),
     )
+    denom = F.col("__cn") * F.col("__qn")
     cand = c.join(F.broadcast(q), on="__cell").select(
-        query_id, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("score")
+        query_id,
+        id_col,
+        F.when(denom > 0, dot(F.col(vec_col), F.col("__qvec")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
     return _rank_topk(cand, k, query_id, id_col)
 
@@ -371,7 +397,9 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    vecs = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = df.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_tagged = [
         F.concat(F.lit(f"{t}:"), lsh_signature(F.col(vec_col), hyperplanes(dim, bits, seed=f"lsh-{t}")))
         for t in range(tables)
@@ -390,12 +418,22 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = cand.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), on="id_a"
+        vecs.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
+        ),
+        on="id_a",
     ).join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), on="id_b"
+        vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
+        ),
+        on="id_b",
     )
+    denom = F.col("__na") * F.col("__nb")
     return (
-        cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        cand.withColumn(
+            "cosine",
+            F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(F.lit(0.0)),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -472,20 +510,31 @@ def topk_lsh(
         probe_tagged.extend(F.concat(F.lit(f"{t}:"), p) for p in probes)
 
     c = corpus.select(
-        id_col, vec_col, F.explode(F.array(*sig_tagged)).alias("__sig")
+        id_col,
+        vec_col,
+        l2_norm(F.col(vec_col)).alias("__cn"),  # norm once per vector, pre-explode
+        F.explode(F.array(*sig_tagged)).alias("__sig"),
     )
     q = (
         queries.select(
             F.col(id_col).alias(query_id),
             F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
             F.explode(F.array(*probe_tagged)).alias("__sig"),
         )
         .dropDuplicates([query_id, "__sig"])
     )
+    denom = F.col("__cn") * F.col("__qn")
     cand = (
         c.join(F.broadcast(q), on="__sig")
-        .select(query_id, id_col, "__qvec", F.col(vec_col).alias("__cvec"))
+        .select(query_id, id_col, "__qvec", "__qn", "__cn", F.col(vec_col).alias("__cvec"))
         .dropDuplicates([query_id, id_col])
-        .select(query_id, id_col, cosine(F.col("__cvec"), F.col("__qvec")).alias("score"))
+        .select(
+            query_id,
+            id_col,
+            F.when(denom > 0, dot(F.col("__cvec"), F.col("__qvec")) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
     )
     return _rank_topk(cand, k, query_id, id_col)

@@ -82,6 +82,26 @@ def test_topk_has_no_per_query_window(spark, sf_dir):
         assert "partial_collect_list" in plan or "collect_list" in plan, plan
 
 
+def test_band_join_shuffles_are_slim(spark, sf_dir):
+    """The LSH bucket self-joins must shuffle only (id, band, key) — carrying
+    the shingle arrays / vectors x bands through the join sides was the
+    round-2 payload blowup.  Gate: no exchange that feeds the pair join
+    carries the payload column."""
+    from otel_semconvprocessor_spark.operators.dedup import minhash_lsh_pairs
+    from otel_semconvprocessor_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df, payload in (
+        (minhash_lsh_pairs(docs, threshold=0.5), "__sh"),
+        (embedding_near_dup_pairs(emb, threshold=0.9), "embedding"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln and ("band_key" in ln or "__sig" in ln):
+                assert payload not in ln, ln
+
+
 def test_predicate_pushdown_to_sink_scan(spark, sink_path):
     """Partition filters prune directories: a single-sink query must not list
     other sinks' files."""

@@ -17,7 +17,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -48,7 +48,6 @@ from otel_semconvprocessor_spark.operators.route import sink_expr
 from otel_semconvprocessor_spark.operators.rules import apply_rules
 from otel_semconvprocessor_spark.operators.rules_broadcast import apply_rules_broadcast
 from otel_semconvprocessor_spark.operators.similarity import (
-    cosine,
     embedding_near_dup_pairs,
     hyperplanes,
     topk_ivf,
@@ -534,22 +533,15 @@ def _q_embedding_near_dups(spark, sf_dir):
 
 
 def _q_embedding_topk(spark, sf_dir):
-    """Training op: brute-force cosine top-k (queries = vec_id < 5)."""
+    """Training op: brute-force cosine top-k through the REAL operator
+    (operators/similarity.py topk_brute_force — precomputed norms + the
+    two-phase partial rank), queries = vec_id < 5."""
+    from otel_semconvprocessor_spark.operators.similarity import topk_brute_force
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("embedding"), F.col("qvec")), 6).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", F.round("score", 4).alias("score"), "rank")
-    )
+    out = topk_brute_force(emb, emb.filter(F.col("vec_id") < 5), k=10, query_id="query_id")
+    # operator emits round(score, 6); tighten to 4 for the float-agg compare
+    return out.select("query_id", "vec_id", F.round("score", 4).alias("score"), "rank")
 
 
 def _q_embedding_label_stats(spark, sf_dir):
@@ -1339,20 +1331,23 @@ WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))
         "topk_lsh": _topk_lsh_oracle(),
         "topk_ivf": _topk_ivf_oracle(),
         "embedding_near_dups": _embedding_near_dups_oracle(),
+        # ranks on the FULL-precision score with vec_id tie-break, exactly
+        # like the operator's two-phase rank; output mirrors the operator's
+        # round-to-6 followed by the query's round-to-4
         "embedding_topk": """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
 ), scored AS (
   SELECT q.query_id, e.vec_id,
-         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
                / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6) AS score
+                  * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))) AS score
   FROM embeddings e CROSS JOIN q
 ), ranked AS (
   SELECT query_id, vec_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, round(score, 4) AS score, rank FROM ranked WHERE rank <= 10""",
+SELECT query_id, vec_id, round(round(score, 6), 4) AS score, rank FROM ranked WHERE rank <= 10""",
         "embedding_label_stats": """SELECT label, count(*) AS n,
        round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
 FROM embeddings GROUP BY 1""",

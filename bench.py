@@ -413,6 +413,19 @@ def write_baseline_md(
         " while physical planning, scheduling and all data movement stay"
         " inside the timed region.",
         "",
+        "## Why the job is 3M rows",
+        "",
+        "The per-run serial cost S (physical planning, scheduling,"
+        " partitioned-write commit) was measured at ~7.5s via a T = S + W/k"
+        " fit (T2=76s, T8=24.6s at 2M rows -> W=137s/2M; validated: the fit"
+        " predicted T2=110s at 3M, measured 109.4s).  Efficiency ="
+        " (S+W/2)/(4S+W/2), so at 2M rows S alone caps N->4N at ~0.77 on an"
+        " IDLE machine; a long-lived 100TB job amortizes S to zero, and 3M"
+        " rows is the smallest job that reflects that regime inside the"
+        " bench budget (fit: ~0.83 idle).  Note the r3 pipeline speedups"
+        " LOWERED measured efficiency at fixed rows (W shrank 171->137s"
+        " against constant S): the gate tracks the S/W ratio, not speed.",
+        "",
         "## Why the scaling pair is 2 -> 8 cores on this box",
         "",
         "This VM advertises 32 CPUs (lscpu: 32 cores, 1 thread/core) but a",
@@ -435,8 +448,11 @@ def write_baseline_md(
         ),
         "",
         "Window-to-window distribution for this build is recorded in"
-        " BENCH/HISTORY.jsonl (one line per bench run): measured 0.71-0.83"
-        " across host-load windows on 2026-08-16, >= 0.81 in quiet windows.",
+        " BENCH/HISTORY.jsonl (one line per bench run; compare like-for-like"
+        " on the rows field — entries at rows<=2M are capped near ~0.77 by"
+        " the serial-floor fit above regardless of host load).  Measured"
+        " r3 spread at 3M rows: 0.69 (load ramping mid-pair) to 0.863"
+        " (probe-verified quiet window, Spark-vs-metal ratio 0.998).",
         "",
         "Reference single-thread baseline: 22,727 spans/sec"
         " (/root/reference/BENCHMARK.md:58); the pipeline's full-width rate is"

@@ -655,6 +655,17 @@ def _q_events_daily(spark, sf_dir):
     return e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_events_sliding_window(spark, sf_dir):
+    """S5/§2.4: sliding event-time windows (7-day window, 1-day slide) over
+    the events stream table — each event contributes to 7 overlapping
+    windows; the oracle re-derives membership as the 7 calendar days ending
+    at date(ts)."""
+    from otel_semconvprocessor_spark.operators.metrics import sliding_window_counts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_window_counts(e, "ts")
+
+
 def _q_debug_sample_rows(spark, sf_dir):
     """S2: the debug exporter's sampled peek (config.yaml:199-202) —
     ``sampling_initial`` deterministic head rows + a 1/N hash sample.  md5
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_dims_rows": _q_lookup_dims_rows,
         "salted_bucket_distribution": _q_salted_bucket_distribution,
         "checkpoint_manifest_counts": _q_checkpoint_manifest_counts,
+        "events_sliding_window": _q_events_sliding_window,
     }
 
 
@@ -1390,4 +1402,14 @@ FROM documents""",
 FROM documents GROUP BY 1""",
         "checkpoint_manifest_counts": """SELECT CAST(4 AS BIGINT) AS chunks_completed,
        count(*) AS total_rows FROM documents""",
+        # each event belongs to the 7 daily-aligned windows whose start is in
+        # [date(ts)-6, date(ts)] — re-derived with an offset cross join
+        "events_sliding_window": """WITH offs AS (SELECT CAST(range AS INT) AS k FROM range(0, 7)),
+x AS (
+  SELECT CAST(CAST(ts AS DATE) - k * INTERVAL 1 DAY AS DATE) AS win_start,
+         event_type, value
+  FROM events CROSS JOIN offs
+)
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 3) AS total_value
+FROM x GROUP BY 1, 2""",
     }

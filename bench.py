@@ -539,7 +539,7 @@ def main() -> None:
         # to").  Every window's estimate + all raw walls are published, and
         # BENCH/HISTORY.jsonl keeps the cross-run distribution.  Windows are
         # sampled until one clears the 0.8 gate or the time budget expires.
-        budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1100"))
+        budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1150"))
         # Window probe: a ~10-15s pure-CPU calibration run BEFORE each pair.
         # If the metal itself scales < 0.85 in the current window (co-tenant
         # load), a >= 0.8 Spark measurement is physically impossible there —
@@ -547,6 +547,7 @@ def main() -> None:
         # discovering the load with a wasted pair.  At least one pair always
         # runs before the budget forces the exit.
         pair_hw = []
+        pair_hw_full = []
         est_pair = 320.0  # optimistic prior: leaves probe-sleep slack before
         # must_run forces the first pair even under a tight budget
         while len(pair_effs) < 5:
@@ -570,6 +571,7 @@ def main() -> None:
             pair_effs.append(round(_pair_eff_median(lows[-1], highs[-1]), 3))
             pair_effs_min.append(round(_pair_eff_min(lows[-1], highs[-1]), 3))
             pair_hw.append(round(hwp["hw_ceiling_efficiency"], 3))
+            pair_hw_full.append(hwp)
         eff = max(pair_effs)
         eff_best_pair = max(pair_effs_min)
         low_walls = sorted(w for r in lows for w in r["warm_walls"])
@@ -578,7 +580,14 @@ def main() -> None:
         low, high = lows[best], highs[best]
         # headline throughput at full machine width
         full = _spawn("pipeline", CPUS, out_dir, warms=2)
-        hw = cpu_calibration(low_cores, high_cores)
+        # same-window calibration: the winning pair's PRE-PROBE already
+        # measured the metal in exactly that window — reuse it (saves
+        # 40-120s of tail budget); re-calibrate only if the probe reading
+        # was implausible
+        if pair_hw_full and 0.5 <= pair_hw_full[best]["hw_ceiling_efficiency"] <= 1.05:
+            hw = dict(pair_hw_full[best], valid=True)
+        else:
+            hw = cpu_calibration(low_cores, high_cores)
         timings = _spawn("operators", CPUS, out_dir)
         write_baseline_md(
             low, high, eff, full, hw, timings, low_walls, high_walls,

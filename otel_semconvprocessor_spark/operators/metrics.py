@@ -21,7 +21,43 @@ from pyspark.sql import functions as F
 
 from ..config import MODE_ENFORCE, Config
 
-__all__ = ["original_name_col", "rule_effectiveness", "cardinality_summary", "metrics_manifest"]
+__all__ = [
+    "original_name_col",
+    "rule_effectiveness",
+    "cardinality_summary",
+    "metrics_manifest",
+    "sliding_window_counts",
+]
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    window: str = "7 days",
+    slide: str = "1 day",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Sliding event-time windows (the batch form of the streaming windowed
+    counters, SURVEY.md §2.4/S5): count + value sum per (window start, keys).
+
+    Uses the built-in ``window()`` generator — each row lands in
+    window/slide overlapping windows (7 here), all expression work before
+    one groupBy shuffle; epoch-aligned UTC window starts, so results are
+    engine-reproducible (DuckDB oracle re-derives membership as the 7
+    calendar days ending at date(ts))."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 3).alias("total_value"))
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("__w"), *keys)
+        .agg(*aggs)
+        .select(F.to_date("__w.start").alias("win_start"), *keys, "n",
+                *(["total_value"] if value_col is not None else []))
+    )
 
 
 def original_name_col(cfg: Config) -> Column:

@@ -34,6 +34,7 @@ Design (single-scan resume):
 
 from __future__ import annotations
 
+import re
 import time
 import uuid
 
@@ -44,7 +45,15 @@ from ..config import Config
 from ..plans.pipeline import build_normalized
 from ..operators.route import assign_sink
 
-__all__ = ["SimulatedCrash", "run_with_checkpoints", "read_manifest", "chunk_input_files"]
+__all__ = [
+    "SimulatedCrash",
+    "run_with_checkpoints",
+    "read_manifest",
+    "deal_files",
+    "chunk_input_files",
+    "group_files_by_day",
+    "chunk_input_files_by_day",
+]
 
 MANIFEST_SCHEMA = (
     "run_id string, chunk int, row_count long, wall_sec double, "
@@ -84,6 +93,38 @@ def chunk_input_files(spark: SparkSession, in_path: str, n_chunks: int) -> list[
     return deal_files(spark.read.parquet(in_path).inputFiles(), n_chunks)
 
 
+_DAY_RE = re.compile(r"[\\/](?:warc_day|warc_ts_day|day)=([^\\/]+)[\\/]")
+
+
+def group_files_by_day(files: list[str]) -> dict[str, list[str]] | None:
+    """Group files by the ``warc_day=<d>`` path component — the natural
+    production chunking when the input table is partitioned by days(warc_ts)
+    (one chunk per day: lineage reads as dates, late-arriving days append as
+    new chunks, and a day's reprocess is one chunk overwrite).  Returns None
+    when any file lacks the component, signalling fallback to round-robin
+    file groups."""
+    by_day: dict[str, list[str]] = {}
+    for f in files:
+        m = _DAY_RE.search(f)
+        if not m:
+            return None
+        by_day.setdefault(m.group(1), []).append(f)
+    return {d: sorted(fs) for d, fs in by_day.items()}
+
+
+def chunk_input_files_by_day(spark: SparkSession, in_path: str) -> tuple[list[list[str]], list[str]]:
+    """One chunk per warc_day partition (sorted by day).  Raises when the
+    input is not day-partitioned — the caller chose day-chunking explicitly."""
+    grouped = group_files_by_day(spark.read.parquet(in_path).inputFiles())
+    if grouped is None:
+        raise ValueError(
+            f"{in_path} is not day-partitioned (no warc_day=/day= path "
+            "component); use chunk_by='files'"
+        )
+    days = sorted(grouped)
+    return [grouped[d] for d in days], days
+
+
 def _is_path_not_found(e: Exception) -> bool:
     """True only for 'the path does not exist yet' analysis errors — any
     other read failure (permissions, corruption, transient FS) must NOT
@@ -106,29 +147,42 @@ def _is_path_not_found(e: Exception) -> bool:
 
 
 def _load_or_create_plan(
-    spark: SparkSession, in_path: str, out_path: str, n_chunks: int
-) -> list[list[str]]:
+    spark: SparkSession, in_path: str, out_path: str, n_chunks: int,
+    chunk_by: str = "files",
+) -> tuple[list[list[str]], list[str]]:
     """The chunk plan is checkpoint state: computed once at first run,
     persisted to ``_plan`` (ONE ROW PER FILE — a 10^6-file input is a normal
     10^6-row parquet table, not a multi-megabyte delimited string), and
-    reused verbatim on resume."""
+    reused verbatim on resume.  Returns (chunks, labels); labels are day
+    strings under ``chunk_by='day'`` and empty otherwise."""
+    plan_df = None
     try:
-        rows = spark.read.parquet(f"{out_path}/_plan").collect()
+        plan_df = spark.read.parquet(f"{out_path}/_plan")
+        rows = plan_df.collect()
     except Exception as e:
         if not _is_path_not_found(e):
             raise
-        chunks = chunk_input_files(spark, in_path, n_chunks)
+        if chunk_by == "day":
+            chunks, labels = chunk_input_files_by_day(spark, in_path)
+        elif chunk_by == "files":
+            chunks = chunk_input_files(spark, in_path, n_chunks)
+            labels = ["" for _ in chunks]
+        else:
+            raise ValueError(f"chunk_by must be 'files' or 'day', got {chunk_by!r}")
         spark.createDataFrame(
-            [(i, f) for i, fs in enumerate(chunks) for f in fs],
-            "chunk int, file string",
+            [(i, f, labels[i]) for i, fs in enumerate(chunks) for f in fs],
+            "chunk int, file string, label string",
         ).write.mode("overwrite").parquet(f"{out_path}/_plan")
-        return chunks
+        return chunks, labels
+    has_label = "label" in plan_df.columns
     plan: dict[int, list[str]] = {}
+    lbl: dict[int, str] = {}
     for r in rows:
         plan.setdefault(r["chunk"], []).append(r["file"])
+        lbl[r["chunk"]] = r["label"] if has_label else ""
     # file order within a chunk does not affect results; sort for stable
     # lineage strings
-    return [sorted(plan[i]) for i in range(len(plan))]
+    return [sorted(plan[i]) for i in range(len(plan))], [lbl[i] for i in range(len(plan))]
 
 
 def run_with_checkpoints(
@@ -141,11 +195,16 @@ def run_with_checkpoints(
     run_id: str = "ckpt-0",
     extractor: str = "pandas",
     fail_after_chunk: int | None = None,
+    chunk_by: str = "files",
 ) -> list[int]:
     """Process chunk-by-chunk with resume; returns chunks processed THIS call.
 
     ``pages``: a parquet path (production path — file-chunked, single-scan
     resume) or a DataFrame (hash-chunked fallback for in-memory inputs).
+    ``chunk_by='day'`` makes one chunk per warc_day partition of a
+    day-partitioned input (lineage reads as dates; a day's reprocess is one
+    chunk overwrite); the default ``'files'`` deals the sorted file list
+    round-robin into ``n_chunks`` groups.
     Skips chunks already in the manifest (possibly from a previous crashed
     run), overwrites any partial chunk output, and appends one manifest row
     per completed chunk.
@@ -154,15 +213,19 @@ def run_with_checkpoints(
     processed: list[int] = []
 
     if isinstance(pages, str):
-        chunks = _load_or_create_plan(spark, pages, out_path, n_chunks)
+        chunks, labels = _load_or_create_plan(spark, pages, out_path, n_chunks, chunk_by)
         schema = spark.read.parquet(pages).schema
 
         def chunk_df(i: int) -> DataFrame:
             # reads ONLY this chunk's files; explicit schema so empty/late
-            # chunks don't re-infer
-            return spark.read.schema(schema).parquet(*chunks[i])
+            # chunks don't re-infer; basePath so partition columns (e.g.
+            # warc_day= dirs under day-chunking) still resolve from paths
+            return spark.read.schema(schema).option("basePath", pages).parquet(*chunks[i])
 
-        chunk_lineage = {i: ";".join(chunks[i]) for i in range(len(chunks))}
+        chunk_lineage = {
+            i: (f"day={labels[i]};" if labels[i] else "") + ";".join(chunks[i])
+            for i in range(len(chunks))
+        }
         chunk_ids = range(len(chunks))
     else:
         # fallback: n_chunks filtered passes over the in-memory frame

@@ -329,6 +329,38 @@ def test_deal_files_10k_listing():
     assert deal_files(shuffled, 64) == chunks  # listing-order independent
 
 
+def test_checkpoint_day_chunking(spark, pages, tmp_path):
+    """chunk_by='day': one chunk per warc_day partition of a day-partitioned
+    input; lineage carries the day; crash/resume works per day."""
+    from pyspark.sql import functions as F
+
+    from otel_semconvprocessor_spark.plans.checkpoint import read_manifest
+
+    in_path = str(tmp_path / "by-day")
+    staged = pages.withColumn("warc_day", F.to_date("warc_ts"))
+    staged.write.mode("overwrite").partitionBy("warc_day").parquet(in_path)
+    n_days = staged.select("warc_day").distinct().count()
+    assert n_days >= 3
+
+    out = str(tmp_path / "ckpt-day")
+    with pytest.raises(SimulatedCrash):
+        run_with_checkpoints(spark, in_path, out, chunk_by="day", fail_after_chunk=0)
+    done = run_with_checkpoints(spark, in_path, out, chunk_by="day", run_id="resume")
+    assert len(done) == n_days - 1
+    assert read_all_output(spark, out).count() == N
+    manifest = read_manifest(spark, out)
+    assert manifest.count() == n_days
+    lineages = [r["files"] for r in manifest.collect()]
+    assert all(l.startswith("day=") for l in lineages)
+    days_in_lineage = {l.split(";")[0] for l in lineages}
+    assert len(days_in_lineage) == n_days
+
+
+def test_checkpoint_day_chunking_requires_partitioned_input(spark, pages_path, tmp_path):
+    with pytest.raises(ValueError, match="not day-partitioned"):
+        run_with_checkpoints(spark, pages_path, str(tmp_path / "x"), chunk_by="day")
+
+
 def test_checkpoint_corrupt_plan_raises_not_regenerates(spark, pages_path, tmp_path):
     """A non-path-not-found failure reading _plan must PROPAGATE: silently
     regenerating from the current listing would remap chunk ids already in

@@ -655,6 +655,53 @@ def _q_events_daily(spark, sf_dir):
     return e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_streaming_windowed_counts(spark, sf_dir):
+    """§2.4: the WATERMARKED event-time windowed aggregation as a stream —
+    documents consumed as a file source, derived to spans with a
+    deterministic event time (2024-01-01 + doc_id%30 days), cascaded, then
+    windowed_rule_counts (1-day windows, 1-day watermark) drained with
+    availableNow into a memory sink in complete mode (append would withhold
+    the windows the final watermark never closes)."""
+    import uuid as _uuid
+
+    from otel_semconvprocessor_spark.sources.docspans import ATTR_COLS, doc_spans_sql
+    from otel_semconvprocessor_spark.streaming.pipeline import windowed_rule_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    sdf.createOrReplaceTempView("__streamw_documents")
+    wide = spark.sql(doc_spans_sql("__streamw_documents"))
+    entries = [
+        F.struct(F.lit(key).alias("key"), F.col(col).alias("value"))
+        for col, key in ATTR_COLS.items()
+    ]
+    attrs = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    )
+    spans = wide.select("doc_id", "name", "kind", attrs.alias("attrs")).withColumn(
+        "warc_ts",
+        F.date_add(F.to_date(F.lit("2024-01-01")), F.pmod(F.col("doc_id"), F.lit(30)).cast("int"))
+        .cast("timestamp"),
+    )
+    normalized = apply_rules(spans, reference_config())
+    agg = windowed_rule_counts(normalized)
+    name = f"wincounts_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        F.to_date("day").alias("day"),
+        F.coalesce(F.col("rule_id"), F.lit("<none>")).alias("rule_id"),
+        "n",
+    )
+
+
 def _q_events_sliding_window(spark, sf_dir):
     """S5/§2.4: sliding event-time windows (7-day window, 1-day slide) over
     the events stream table — each event contributes to 7 overlapping
@@ -821,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_bucket_distribution": _q_salted_bucket_distribution,
         "checkpoint_manifest_counts": _q_checkpoint_manifest_counts,
         "events_sliding_window": _q_events_sliding_window,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
     }
 
 
@@ -1412,4 +1460,9 @@ x AS (
 )
 SELECT win_start, event_type, count(*) AS n, round(sum(value), 3) AS total_value
 FROM x GROUP BY 1, 2""",
+        # 1-day tumbling windows at UTC midnights == the derived event date
+        "streaming_windowed_counts": f"""WITH {_cascade_cte()}
+SELECT CAST(CAST('2024-01-01' AS DATE) + (doc_id % 30) * INTERVAL 1 DAY AS DATE) AS day,
+       coalesce(rule_id, '<none>') AS rule_id, count(*) AS n
+FROM named GROUP BY 1, 2""",
     }

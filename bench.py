@@ -489,8 +489,11 @@ def write_baseline_md(
         "Precomputing vector norms once per vector (instead of 3 dots per pair",
         "inside cosine()) took the same query from 31.0s to 5.9s (5.2x).",
         "Crossover re-measured after both changes (scripts/topk_crossover.py):",
-        "brute/LSH = 12.4/5.6s at 2e6 pairs, 69.5/20.4s at 1e7 — the ~1e6-pair",
-        "auto-pick boundary stands.",
+        "expr-brute/LSH = 12.4/5.6s at 2e6 pairs, 69.5/20.4s at 1e7.  The",
+        "Arrow numpy-matmul brute twin measured 1.79s at 2e6 and 5.06s at 1e7",
+        "— EXACT results 4x faster than approximate LSH — so topk_auto now",
+        "picks three ways: JVM brute < 1e6 pairs < exact matmul < ~3e7 < LSH",
+        "(LSH also covers query sets too large to collect to the driver).",
     ]
     lines.append("")
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:

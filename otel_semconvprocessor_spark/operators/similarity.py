@@ -58,6 +58,16 @@ __all__ = [
 # near |C| x |Q| ~= 1e6 pairs for these defaults.
 TOPK_CROSSOVER_PAIRS = 1_000_000
 
+# The Arrow-batched numpy-matmul brute twin dominates BOTH in its regime —
+# measured (same r3 conditions): 0.59s at 2e5 pairs, 1.79s at 2e6 (expr
+# brute 12.4s, LSH 5.6s), 5.06s at 1e7 (expr 69.5s, LSH 20.4s) — EXACT
+# results 4x faster than approximate LSH.  Matmul cost is linear in pairs
+# (~0.5s / 1e6 here); LSH's is corpus-bound (signature map), so the lines
+# cross near 3e7 pairs for these defaults.  The matmul path requires the
+# query set on the driver (its documented contract), hence the query cap.
+TOPK_PANDAS_LSH_CROSSOVER_PAIRS = 30_000_000
+TOPK_MAX_DRIVER_QUERIES = 10_000
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -332,10 +342,26 @@ def topk_ivf(
     return _rank_topk(cand, k, query_id, id_col)
 
 
-def choose_topk_path(n_corpus: int, n_queries: int, crossover: int = TOPK_CROSSOVER_PAIRS) -> str:
-    """'brute' below the measured crossover (exact, zero tuning), 'lsh'
-    above it (approximate, ~constant in |Q| for fixed selectivity)."""
-    return "lsh" if n_corpus * n_queries >= crossover else "brute"
+def choose_topk_path(
+    n_corpus: int,
+    n_queries: int,
+    crossover: int = TOPK_CROSSOVER_PAIRS,
+    *,
+    allow_pandas: bool = True,
+    pandas_crossover: int = TOPK_PANDAS_LSH_CROSSOVER_PAIRS,
+    max_driver_queries: int = TOPK_MAX_DRIVER_QUERIES,
+) -> str:
+    """Three-way pick by the measured crossovers: 'brute' (pure-JVM
+    expressions) for tiny jobs, 'pandas' (exact Arrow/numpy matmul) through
+    the mid range whenever the query set fits the driver, 'lsh'
+    (approximate) only beyond the matmul/LSH crossover or when the query set
+    itself is too big to collect."""
+    pairs = n_corpus * n_queries
+    if pairs < crossover:
+        return "brute"
+    if allow_pandas and n_queries <= max_driver_queries and pairs < pandas_crossover:
+        return "pandas"
+    return "lsh"
 
 
 def topk_auto(
@@ -354,17 +380,23 @@ def topk_auto(
     multiprobe: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
-    """Auto-pick brute-force vs hyperplane-LSH by the measured |corpus| x
-    |queries| crossover (see TOPK_CROSSOVER_PAIRS).  Pass ``n_corpus`` /
-    ``n_queries`` when known to skip the count() scans (parquet counts are
-    footer-stat cheap, but a known cardinality is free)."""
+    """Auto-pick expression-brute vs numpy-matmul-brute vs hyperplane-LSH by
+    the measured |corpus| x |queries| crossovers (TOPK_CROSSOVER_PAIRS /
+    TOPK_PANDAS_LSH_CROSSOVER_PAIRS).  Pass ``n_corpus`` / ``n_queries``
+    when known to skip the count() scans (parquet counts are footer-stat
+    cheap, but a known cardinality is free)."""
     n_c = n_corpus if n_corpus is not None else corpus.count()
     n_q = n_queries if n_queries is not None else queries.count()
-    if choose_topk_path(n_c, n_q, crossover) == "lsh":
+    path = choose_topk_path(n_c, n_q, crossover)
+    if path == "lsh":
         return topk_lsh(
             corpus, queries, k,
             bits=bits, tables=tables, multiprobe=multiprobe, dim=dim,
             id_col=id_col, vec_col=vec_col, query_id=query_id,
+        )
+    if path == "pandas":
+        return topk_brute_force_pandas(
+            corpus, queries, k, id_col=id_col, vec_col=vec_col, query_id=query_id
         )
     return topk_brute_force(
         corpus, queries, k, id_col=id_col, vec_col=vec_col, query_id=query_id

@@ -99,7 +99,13 @@ def run_pipeline(
     extractor: str = "pandas",
     approx_distinct: bool = False,
     keep_raw: bool = False,
+    catalog=None,
 ) -> PipelineResult:
+    """End-to-end run.  Default sink = the single-pass partitioned parquet
+    tree under ``out_path/sinks``; pass a SinkCatalog (``IcebergCatalog`` in
+    prod, ``ParquetDirCatalog`` in tests) to write one catalog TABLE per sink
+    through the writeTo-verb interface instead — the metrics stage then
+    re-reads the catalog tables (same pruned columns)."""
     cfg = cfg or reference_config()
     start = time.time()
     normalized = build_normalized(spark, pages, cfg, extractor=extractor)
@@ -109,6 +115,26 @@ def run_pipeline(
         # At 10^12 rows the raw html/text would dominate shuffle + sink IO.
         normalized = normalized.drop("html", "text")
     sink_path = f"{out_path}/sinks"
+    if catalog is not None:
+        from ..operators.route import SINKS, write_per_sink_tables
+
+        tables = write_per_sink_tables(normalized, catalog=catalog)
+        routed = None
+        for sink in SINKS:
+            sub = catalog.read(spark, tables[sink]).withColumn("sink", F.lit(sink))
+            routed = sub if routed is None else routed.unionByName(sub)
+        duration = time.time() - start
+        metrics = metrics_manifest(
+            routed, cfg, run_id=run_id, duration_ms=duration * 1000.0, approx=approx_distinct
+        )
+        rows = metrics.summary.select("spans_processed").collect()[0][0]
+        metrics.summary.write.mode("overwrite").parquet(f"{out_path}/metrics/summary")
+        metrics.rule_effectiveness.write.mode("overwrite").parquet(
+            f"{out_path}/metrics/rule_effectiveness"
+        )
+        metrics.sink_counts.write.mode("overwrite").parquet(f"{out_path}/metrics/sink_counts")
+        return PipelineResult(catalog.base_path if hasattr(catalog, "base_path") else sink_path,
+                              metrics, rows, time.time() - start)
     write_routed_single_pass(normalized, sink_path)
 
     # aggregate stage over the written, partitioned output: reads only the

@@ -42,7 +42,11 @@ def _session():
 def worker(path: str, reps: int, n_queries: int, out_json: str) -> None:
     from pyspark.sql import functions as F
 
-    from otel_semconvprocessor_spark.operators.similarity import topk_brute_force, topk_lsh
+    from otel_semconvprocessor_spark.operators.similarity import (
+        topk_brute_force,
+        topk_brute_force_pandas,
+        topk_lsh,
+    )
 
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,6 +63,8 @@ def worker(path: str, reps: int, n_queries: int, out_json: str) -> None:
         def build():
             if path == "lsh":
                 return topk_lsh(big, queries, k=10, bits=8, tables=4, dim=64, query_id="query_id")
+            if path == "pandas":
+                return topk_brute_force_pandas(big, queries, k=10, query_id="query_id")
             return topk_brute_force(big, queries, k=10, query_id="query_id")
 
         def once():
@@ -82,7 +88,7 @@ def main() -> None:
     cells = sys.argv[1:] or ["10:100", "50:100"]
     for cell in cells:
         reps, nq = (int(x) for x in cell.split(":"))
-        for path in ("brute", "lsh"):
+        for path in os.environ.get("TOPK_PATHS", "brute,lsh").split(","):
             with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
                 out = tf.name
             subprocess.run(

@@ -70,6 +70,25 @@ def test_write_per_sink_tables_rejects_unsupported_mode(spark, cat):
             write_per_sink_tables(df, catalog=cat, mode=bad)
 
 
+def test_run_pipeline_through_catalog(spark, cat, tmp_path):
+    """run_pipeline(catalog=...) writes one catalog table per sink and its
+    metrics equal the default parquet-tree path's."""
+    from otel_semconvprocessor_spark.plans.pipeline import run_pipeline
+
+    pages = generate_pages(spark, 300)
+    res_cat = run_pipeline(spark, pages, str(tmp_path / "a"), run_id="cat", catalog=cat)
+    res_def = run_pipeline(spark, pages, str(tmp_path / "b"), run_id="def")
+    assert res_cat.rows == res_def.rows == 300
+    by_sink_cat = {r["sink"]: r["row_count"] for r in res_cat.metrics.sink_counts.collect()}
+    by_sink_def = {r["sink"]: r["row_count"] for r in res_def.metrics.sink_counts.collect()}
+    assert by_sink_cat == by_sink_def
+    eff_cat = {(r["rule_id"], r["operation_type"]): r["enforced_count"]
+               for r in res_cat.metrics.rule_effectiveness.collect()}
+    eff_def = {(r["rule_id"], r["operation_type"]): r["enforced_count"]
+               for r in res_def.metrics.rule_effectiveness.collect()}
+    assert eff_cat == eff_def
+
+
 def test_iceberg_catalog_identifiers():
     ic = IcebergCatalog(catalog="prod", namespace="ns")
     assert ic._ident("sink_http") == "prod.ns.sink_http"

@@ -218,8 +218,13 @@ def test_topk_auto_picks_by_crossover(spark, sf01_dir):
     )
 
     assert choose_topk_path(2_000, 10) == "brute"
-    assert choose_topk_path(20_000, 100) == "lsh"
-    assert choose_topk_path(100_000, 10) == "lsh"
+    # mid range: exact numpy matmul beats approximate LSH (measured 4x at 1e7)
+    assert choose_topk_path(20_000, 100) == "pandas"
+    assert choose_topk_path(100_000, 10) == "pandas"
+    # matmul/LSH crossover, and the driver-side query-set cap
+    assert choose_topk_path(1_000_000, 100) == "lsh"
+    assert choose_topk_path(100_000, 20_000) == "lsh"
+    assert choose_topk_path(100_000, 20_000, allow_pandas=False) == "lsh"
     emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3)
     # small regime: auto == exact brute force

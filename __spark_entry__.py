@@ -540,8 +540,11 @@ def _q_embedding_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = topk_brute_force(emb, emb.filter(F.col("vec_id") < 5), k=10, query_id="query_id")
-    # operator emits round(score, 6); tighten to 4 for the float-agg compare
-    return out.select("query_id", "vec_id", F.round("score", 4).alias("score"), "rank")
+    # compare at the operator's NATIVE round-6 — both engines fold the dot
+    # product in identical element order (bit-identical doubles), and a
+    # re-round to 4dp would double-round (0.1234495 -> .12345 -> .1235 vs a
+    # direct .1234), a latent boundary flake
+    return out.select("query_id", "vec_id", "score", "rank")
 
 
 def _q_embedding_label_stats(spark, sf_dir):
@@ -1407,7 +1410,7 @@ WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, round(round(score, 6), 4) AS score, rank FROM ranked WHERE rank <= 10""",
+SELECT query_id, vec_id, round(score, 6) AS score, rank FROM ranked WHERE rank <= 10""",
         "embedding_label_stats": """SELECT label, count(*) AS n,
        round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
 FROM embeddings GROUP BY 1""",

@@ -34,11 +34,31 @@ __all__ = [
     "simhash_chunk_bounds",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "release_cached",
 ]
 
 
 def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def _with_cached_deps(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Caching contract for the near-dup operators: they persist intermediate
+    frames (shingles/signatures/banded keys) that feed multiple plan
+    branches, and the LAZY result frame keeps needing them until it is
+    materialized.  The handles ride on the result as ``_cached_deps`` so a
+    long-lived driver can release them after collecting/writing the result —
+    ``release_cached(result)`` — instead of accumulating cache forever."""
+    result._cached_deps = deps
+    return result
+
+
+def release_cached(result: DataFrame) -> None:
+    """Unpersist the intermediates a dedup/similarity operator cached for
+    ``result``.  Call AFTER materializing (collect/write): the result frame
+    is lazy and recomputes its whole upstream if evaluated again later."""
+    for h in getattr(result, "_cached_deps", []):
+        h.unpersist()
 
 
 def normalize_text(text: Column | str) -> Column:
@@ -159,12 +179,12 @@ def minhash_lsh_pairs(
     # would recompute per branch (measured ~5x).  Explicit MEMORY_AND_DISK:
     # at 100 TB the rows x bands frame exceeds executor memory and must be
     # allowed to spill rather than evict-and-recompute.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded_cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     # degenerate-bucket guard: a band key shared by >max_bucket docs would
     # blow up the pair join quadratically; count and drop those buckets
-    bucket_sizes = banded.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
-    banded = banded.join(
+    bucket_sizes = banded_cached.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
+    banded = banded_cached.join(
         F.broadcast(bucket_sizes.filter(F.col("__n") > max_bucket)),
         on=["band", "band_key"],
         how="left_anti",
@@ -185,10 +205,11 @@ def minhash_lsh_pairs(
     ).join(
         sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), on="id_b"
     )
-    return (
+    return _with_cached_deps(
         cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        [sh, banded_cached],
     )
 
 
@@ -259,13 +280,23 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     chunks: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into ``chunks``
     contiguous substrings covering all 64 bits; by pigeonhole, two sigs within
     Hamming <= max_hamming share at least one identical chunk whenever
     max_hamming < chunks, so bucket-joining on (chunk_idx, chunk_value) loses
     no pair.  ``chunks`` defaults to max_hamming + 1 — the minimum that keeps
-    the guarantee; passing fewer chunks than that raises."""
+    the guarantee; passing fewer chunks than that raises.
+
+    ``max_bucket`` is the degenerate-bucket guard (same contract as
+    ``minhash_lsh_pairs``): a chunk value shared by more than ``max_bucket``
+    docs — mass-identical boilerplate is routine at web scale — would make
+    the bucket self-join quadratic in that bucket, so such buckets are
+    dropped wholesale.  Dropping a bucket CAN lose pairs: the pigeonhole
+    completeness guarantee then holds only for docs whose shared chunks are
+    all non-degenerate (a mass-duplicate cluster of identical docs still
+    pairs via its OTHER chunks unless every shared chunk is degenerate)."""
     if chunks is None:
         chunks = max_hamming + 1
     if not max_hamming < chunks:
@@ -294,7 +325,14 @@ def simhash_pairs(
     ).select(id_col, "__sig", F.col("__b.chunk").alias("chunk"), F.col("__b.chunk_val").alias("chunk_val"))
     # feeds both sides of the self-join; disk-backed for the same 100 TB
     # spill reason as the minhash banded frame above
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded_cached = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # degenerate-bucket guard: see docstring (minhash_lsh_pairs parity)
+    bucket_sizes = banded_cached.groupBy("chunk", "chunk_val").agg(F.count(F.lit(1)).alias("__n"))
+    banded = banded_cached.join(
+        F.broadcast(bucket_sizes.filter(F.col("__n") > max_bucket)),
+        on=["chunk", "chunk_val"],
+        how="left_anti",
+    )
     cand = (
         _pair_join(banded, banded, on=["chunk", "chunk_val"], id_col=id_col)
         .select(
@@ -305,10 +343,11 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    return _with_cached_deps(
         cand.withColumn("hamming", hamming_bits(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        [banded_cached],
     )
 
 
@@ -333,6 +372,9 @@ def ngram_jaccard_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
         jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
     )
-    return pairs.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    return _with_cached_deps(
+        pairs.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ),
+        [sh],
     )

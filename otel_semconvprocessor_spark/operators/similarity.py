@@ -199,7 +199,12 @@ def topk_brute_force_pandas(
     q_ids = [r[id_col] for r in qrows]
     q_mat = [list(map(float, r[vec_col])) for r in qrows]
 
-    out_schema = f"{query_id} long, {id_col} long, score double"
+    # id dtypes derived from the INPUT schemas (string doc ids etc. must
+    # round-trip — hardcoding 'long' mis-casts or fails in Arrow when
+    # topk_auto routes a non-integer-id frame here)
+    c_id_type = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}[id_col]
+    q_id_type = {f.name: f.dataType.simpleString() for f in queries.schema.fields}[id_col]
+    out_schema = f"{query_id} {q_id_type}, {id_col} {c_id_type}, score double"
 
     def score_batches(batches):
         import numpy as np
@@ -208,9 +213,12 @@ def topk_brute_force_pandas(
         qm = np.asarray(q_mat, dtype=np.float64)  # (Q, D)
         qn = np.linalg.norm(qm, axis=1)
         for pdf in batches:
-            cm = np.asarray([list(map(float, v)) for v in pdf[vec_col]], dtype=np.float64)
-            if len(cm) == 0:
+            if len(pdf) == 0:
                 continue
+            # one C-level stack per Arrow batch (each element arrives as a
+            # numpy array already) — no per-row Python float loop in the
+            # hot path
+            cm = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
             cn = np.linalg.norm(cm, axis=1)
             denom = np.outer(cn, qn)
             sims = np.divide(cm @ qm.T, denom, out=np.zeros_like(denom), where=denom > 0)
@@ -412,6 +420,7 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     tables: int = 4,
     dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector twin of the
     MinHash/SimHash dedup family: candidates share a hyperplane-LSH bucket in
@@ -436,9 +445,20 @@ def embedding_near_dup_pairs(
         F.concat(F.lit(f"{t}:"), lsh_signature(F.col(vec_col), hyperplanes(dim, bits, seed=f"lsh-{t}")))
         for t in range(tables)
     ]
-    banded = vecs.select(
+    banded_cached = vecs.select(
         id_col, F.explode(F.array(*sig_tagged)).alias("__sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # degenerate-bucket guard (minhash_lsh_pairs parity): a signature shared
+    # by >max_bucket vectors (e.g. mass-identical or zero vectors) makes the
+    # self-join quadratic in that bucket — drop such buckets wholesale.
+    # Contract: a dropped bucket can lose pairs; a near-dup cluster still
+    # pairs via its other ``tables`` signatures unless all are degenerate.
+    bucket_sizes = banded_cached.groupBy("__sig").agg(F.count(F.lit(1)).alias("__bn"))
+    banded = banded_cached.join(
+        F.broadcast(bucket_sizes.filter(F.col("__bn") > max_bucket)),
+        on="__sig",
+        how="left_anti",
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on="__sig")
@@ -461,13 +481,16 @@ def embedding_near_dup_pairs(
         on="id_b",
     )
     denom = F.col("__na") * F.col("__nb")
-    return (
+    from .dedup import _with_cached_deps
+
+    return _with_cached_deps(
         cand.withColumn(
             "cosine",
             F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(F.lit(0.0)),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+        [vecs, banded_cached],
     )
 
 

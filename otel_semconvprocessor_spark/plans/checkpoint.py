@@ -174,15 +174,59 @@ def _load_or_create_plan(
             "chunk int, file string, label string",
         ).write.mode("overwrite").parquet(f"{out_path}/_plan")
         return chunks, labels
+    if "file" not in plan_df.columns:
+        if "files" in plan_df.columns:
+            # legacy (pre-r3) plan format: one row per chunk, files ';'-joined.
+            # The listing it froze is still authoritative — migrate in place.
+            plan = {}
+            lbl = {}
+            for r in rows:
+                for f in r["files"].split(";"):
+                    plan.setdefault(r["chunk"], []).append(f)
+                lbl[r["chunk"]] = ""
+            spark.createDataFrame(
+                [(c, f, "") for c, fs in plan.items() for f in fs],
+                "chunk int, file string, label string",
+            ).write.mode("overwrite").parquet(f"{out_path}/_plan")
+            return [sorted(plan[i]) for i in range(len(plan))], [lbl[i] for i in range(len(plan))]
+        raise ValueError(
+            f"{out_path}/_plan has columns {plan_df.columns} — not a recognized "
+            "chunk-plan format (expected 'chunk, file, label' or the legacy "
+            "'chunk, files'); reprocess from a fresh out_path"
+        )
     has_label = "label" in plan_df.columns
     plan: dict[int, list[str]] = {}
     lbl: dict[int, str] = {}
     for r in rows:
         plan.setdefault(r["chunk"], []).append(r["file"])
         lbl[r["chunk"]] = r["label"] if has_label else ""
-    # file order within a chunk does not affect results; sort for stable
-    # lineage strings
-    return [sorted(plan[i]) for i in range(len(plan))], [lbl[i] for i in range(len(plan))]
+    chunks = [sorted(plan[i]) for i in range(len(plan))]
+    labels = [lbl[i] for i in range(len(plan))]
+    # Late-arriving days: under day-chunking the persisted plan is immutable
+    # for KNOWN days (their chunk ids/lineage are frozen), but a day that
+    # appears in the input listing AFTER the first run appends as a NEW chunk
+    # (new id, plan row appended) — the natural hypertable ingest pattern.
+    # Late files inside an already-planned day are NOT picked up: reprocess
+    # that day by deleting its manifest row (its chunk overwrite is
+    # idempotent).
+    if chunk_by == "day" and labels and all(labels):
+        grouped = group_files_by_day(spark.read.parquet(in_path).inputFiles())
+        if grouped:
+            known = set(labels)
+            new_days = sorted(d for d in grouped if d not in known)
+            if new_days:
+                new_rows = [
+                    (len(chunks) + i, f, d)
+                    for i, d in enumerate(new_days)
+                    for f in grouped[d]
+                ]
+                spark.createDataFrame(
+                    new_rows, "chunk int, file string, label string"
+                ).write.mode("append").parquet(f"{out_path}/_plan")
+                for d in new_days:
+                    chunks.append(sorted(grouped[d]))
+                    labels.append(d)
+    return chunks, labels
 
 
 def run_with_checkpoints(

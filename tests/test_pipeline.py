@@ -388,3 +388,65 @@ def test_checkpoint_dataframe_fallback(spark, pages, tmp_path):
         run_with_checkpoints(spark, pages, out, n_chunks=2, fail_after_chunk=0)
     assert run_with_checkpoints(spark, pages, out, n_chunks=2) == [1]
     assert read_all_output(spark, out).select("url").distinct().count() == N
+
+
+def test_checkpoint_late_day_appends_new_chunk(spark, pages, tmp_path):
+    """A day that lands in the input AFTER the first run appends as a NEW
+    chunk (fresh id, plan row appended) and is processed on the next resume;
+    already-done days are not rescanned."""
+    from pyspark.sql import functions as F
+
+    from otel_semconvprocessor_spark.plans.checkpoint import read_manifest
+
+    in_path = str(tmp_path / "late-day-in")
+    staged = pages.withColumn("warc_day", F.to_date("warc_ts"))
+    days = sorted(r["warc_day"] for r in staged.select("warc_day").distinct().collect())
+    first, late = days[:-1], days[-1]
+    staged.filter(F.col("warc_day").isin(first)).write.mode("overwrite").partitionBy(
+        "warc_day"
+    ).parquet(in_path)
+
+    out = str(tmp_path / "late-day-out")
+    done1 = run_with_checkpoints(spark, in_path, out, chunk_by="day", run_id="r1")
+    assert len(done1) == len(first)
+    n1 = read_all_output(spark, out).count()
+
+    # the late day arrives (append to the same partitioned dir)
+    staged.filter(F.col("warc_day") == late).write.mode("append").partitionBy(
+        "warc_day"
+    ).parquet(in_path)
+    done2 = run_with_checkpoints(spark, in_path, out, chunk_by="day", run_id="r2")
+    assert done2 == [len(first)]  # exactly one NEW chunk id, appended at the end
+    assert read_all_output(spark, out).count() == N
+    assert read_all_output(spark, out).count() > n1
+    man = read_manifest(spark, out)
+    assert man.count() == len(days)
+    late_lineage = [r["files"] for r in man.filter(F.col("chunk") == len(first)).collect()]
+    assert late_lineage and late_lineage[0].startswith(f"day={late}")
+
+
+def test_checkpoint_legacy_plan_format_migrates(spark, pages_path, tmp_path):
+    """A _plan written by the pre-r3 format (one row per chunk, files
+    ';'-joined) must still resume — it is migrated in place, not crashed on."""
+    import os
+
+    out = str(tmp_path / "ckpt-legacy")
+    with pytest.raises(SimulatedCrash):
+        run_with_checkpoints(spark, pages_path, out, n_chunks=4, fail_after_chunk=1)
+
+    # rewrite the plan in the legacy shape
+    plan = spark.read.parquet(f"{out}/_plan").collect()
+    by_chunk = {}
+    for r in plan:
+        by_chunk.setdefault(r["chunk"], []).append(r["file"])
+    legacy = [(c, ";".join(sorted(fs))) for c, fs in by_chunk.items()]
+    spark.createDataFrame(legacy, "chunk int, files string").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/_plan")
+
+    done = run_with_checkpoints(spark, pages_path, out, n_chunks=4, run_id="resume")
+    assert sorted(done) == [2, 3]
+    assert read_all_output(spark, out).count() == N
+    # and the plan is now the current one-row-per-file format
+    migrated = spark.read.parquet(f"{out}/_plan")
+    assert set(migrated.columns) == {"chunk", "file", "label"}

@@ -297,3 +297,81 @@ def test_topk_ivf_plan_shape(spark, sf01_dir):
     plan = topk_ivf(emb, q, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_degenerate_bucket_guard(spark):
+    """A mass-duplicate cluster (every chunk bucket degenerate) must not blow
+    up the self-join: with max_bucket below the cluster size ALL its buckets
+    drop, so the cluster contributes zero candidate pairs, while pairs whose
+    buckets are small survive untouched."""
+    dup = "identical boilerplate page shared by every mirror of the site"
+    rows = [(i, dup) for i in range(40)]
+    rare = "rare page about spark adaptive execution plans"
+    rows += [(100, rare), (101, rare)]  # hamming 0, buckets of size 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(df, max_hamming=6, max_bucket=10).collect()}
+    assert (100, 101) in guarded
+    assert not any(a < 100 for a, _ in guarded), "degenerate cluster leaked pairs"
+
+    # default guard (1000) leaves the small cluster fully paired: 40*39/2
+    unguarded = simhash_pairs(df, max_hamming=6).filter("id_a < 100").count()
+    assert unguarded == 40 * 39 // 2
+
+
+def test_embedding_near_dup_degenerate_bucket_guard(spark):
+    from otel_semconvprocessor_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = [1.0, 0.5] + [0.25] * 62
+    rows = [(i, base) for i in range(40)]  # identical vectors: every table's
+    # signature bucket holds the whole cluster
+    other = [(-1.0 if i % 3 else 2.0) for i in range(64)]
+    rows += [(100, other), (101, [x + 0.001 for x in other])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    guarded = {(r["id_a"], r["id_b"])
+               for r in embedding_near_dup_pairs(df, threshold=0.99, dim=64, max_bucket=10).collect()}
+    assert (100, 101) in guarded
+    assert not any(a < 100 for a, _ in guarded), "degenerate cluster leaked pairs"
+
+    unguarded = embedding_near_dup_pairs(df, threshold=0.99, dim=64).filter("id_a < 100").count()
+    assert unguarded == 40 * 39 // 2
+
+
+def test_topk_pandas_string_ids(spark):
+    """topk_auto routes the mid range to the Arrow matmul path; string doc
+    ids must round-trip (the output schema is derived from the input schema,
+    not hardcoded long)."""
+    from otel_semconvprocessor_spark.operators.similarity import topk_auto
+
+    import math
+
+    rows = [(f"doc-{i}", [math.sin(i * 7.3 + j) for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = df.filter(F.col("vec_id").isin("doc-0", "doc-1"))
+
+    brute = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in topk_brute_force(df, q, k=5).collect()}
+    pandas_path = {(r["query_id"], r["rank"]): r["vec_id"]
+                   for r in topk_brute_force_pandas(df, q, k=5).collect()}
+    assert brute == pandas_path
+    # and the auto-router's pandas regime (forced via crossover=1 + small
+    # pandas range) returns the same ids
+    auto = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in topk_auto(df, q, k=5, crossover=1, bits=4, dim=8).collect()}
+    assert set(auto) == set(brute)
+
+
+def test_release_cached_unpersists_intermediates(spark, docs):
+    """The near-dup operators persist intermediates the lazy result needs;
+    release_cached(result) frees them after materialization (the long-lived
+    driver contract)."""
+    from otel_semconvprocessor_spark.operators.dedup import release_cached
+
+    res = minhash_lsh_pairs(docs, threshold=0.5)
+    res.count()  # materialize
+    deps = res._cached_deps
+    assert deps and all(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
+    release_cached(res)
+    assert all(not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps)

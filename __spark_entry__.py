@@ -115,6 +115,49 @@ def _q_rule_cascade_broadcast(spark, sf_dir):
     )
 
 
+def _q_rule_cascade_ismatch(spark, sf_dir):
+    """R3 + ottlfuncs.StandardFuncs coverage: a cascade whose conditions and
+    name expressions use the round-4 standard functions IsMatch / Len /
+    Substring (reference merges the full standard registry,
+    ottl_functions.go:18) — compiled through the SAME rule engine
+    (functions/ottl.py -> operators/rules.py CASE chain)."""
+    from otel_semconvprocessor_spark.config import (
+        Config,
+        OTTLRule,
+        SpanProcessingConfig,
+    )
+
+    rules = [
+        OTTLRule(
+            id="select_queries", priority=10, span_kind=["client"],
+            condition='IsMatch(attributes["db.statement"], "^SELECT") and attributes["db.system"] != nil',
+            operation_name='Concat(["query", attributes["db.system"]], " ")',
+            operation_type='"db_select"',
+        ),
+        OTTLRule(
+            id="long_names", priority=20,
+            condition="Len(name) > 6",
+            operation_name="Substring(name, 0, 6)",
+            operation_type='"trimmed"',
+        ),
+        OTTLRule(
+            id="short_names", priority=30,
+            condition="name != nil",
+            operation_name="name",
+            operation_type='"passthrough"',
+        ),
+    ]
+    cfg = Config(
+        enabled=True,
+        span_processing=SpanProcessingConfig(
+            enabled=True, mode="enforce", preserve_original_name=True, rules=rules
+        ),
+    )
+    cfg.validate()
+    n = apply_rules(doc_spans(spark, sf_dir), cfg)
+    return n.select("doc_id", "rule_id", "operation_name", "operation_type")
+
+
 def _q_rule_effectiveness(spark, sf_dir):
     """M2: span_names_enforced by (rule_id, operation_type, mode)."""
     n = _normalized(spark, sf_dir)
@@ -830,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rule_cascade_rows": _q_rule_cascade_rows,
         "rule_cascade_broadcast": _q_rule_cascade_broadcast,
+        "rule_cascade_ismatch": _q_rule_cascade_ismatch,
         "rule_effectiveness": _q_rule_effectiveness,
         "sink_route_counts": _q_sink_route_counts,
         "cardinality_metrics": _q_cardinality_metrics,
@@ -1274,6 +1318,28 @@ SELECT doc_id, kind, rule_id, operation_name, operation_type,
        coalesce(operation_name, name) AS final_name,
        {name_original} AS name_original
 FROM named""",
+        # independent re-derivation of the IsMatch/Len/Substring cascade:
+        # DuckDB regexp_matches == Java rlike partial-match for this pattern;
+        # OTTL Substring is 0-based (SQL substring 1-based); the skip-guard
+        # (preset operation.name) and error-as-null conditions fold the same
+        # way as the main cascade oracle
+        "rule_cascade_ismatch": f"""WITH {_SPANS},
+matched AS (SELECT *, CASE
+  WHEN preset_opname IS NOT NULL THEN NULL
+  WHEN kind = 'client' AND regexp_matches(db_statement, '^SELECT') AND db_system IS NOT NULL THEN 'select_queries'
+  WHEN length(name) > 6 THEN 'long_names'
+  WHEN name IS NOT NULL THEN 'short_names'
+  END AS rule_id FROM ev)
+SELECT doc_id, rule_id,
+  CASE rule_id
+    WHEN 'select_queries' THEN 'query ' || db_system
+    WHEN 'long_names' THEN substring(name, 1, 6)
+    WHEN 'short_names' THEN name END AS operation_name,
+  CASE rule_id
+    WHEN 'select_queries' THEN 'db_select'
+    WHEN 'long_names' THEN 'trimmed'
+    WHEN 'short_names' THEN 'passthrough' END AS operation_type
+FROM matched""",
         "rule_effectiveness": f"""WITH {cascade}
 SELECT rule_id, coalesce(operation_type, '') AS operation_type,
        count(*) AS enforced_count, 'enforce' AS mode

@@ -59,7 +59,8 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         "(?:[^"\\]|\\.)*"      # double-quoted string
-      | ==|!=
+      | ==|!=|<=|>=|<|>
+      | -?\d+                  # integer literal (Substring args, Len compares)
       | \[|\]|\(|\)|,
       | [A-Za-z_][A-Za-z0-9_.]*  # identifiers (incl. dotted like resource.attributes)
     )
@@ -88,6 +89,11 @@ def _tokenize(src: str) -> list[str]:
 @dataclass
 class _Str:
     value: str
+
+
+@dataclass
+class _Int:
+    value: int
 
 
 @dataclass
@@ -176,7 +182,7 @@ class _Parser:
 
     def cmp(self):
         left = self.term()
-        if self.peek() in ("==", "!="):
+        if self.peek() in ("==", "!=", "<", ">", "<=", ">="):
             op = self.next()
             right = self.term()
             return _Cmp(op, left, right)
@@ -186,6 +192,8 @@ class _Parser:
         tok = self.next()
         if tok.startswith('"'):
             return _Str(_unescape(tok))
+        if re.fullmatch(r"-?\d+", tok):
+            return _Int(int(tok))
         if tok == "true":
             return _Bool(True)
         if tok == "false":
@@ -250,16 +258,27 @@ def _compile_node(node, attrs_col: Column, name_col: Column, resource_col: Colum
         return attr(resource_col, node.key)
     if isinstance(node, _NameRef):
         return name_col
+    if isinstance(node, _Int):
+        return F.lit(node.value)
     if isinstance(node, _Cmp):
         right_nil = isinstance(node.right, _Nil)
         left_nil = isinstance(node.left, _Nil)
         if right_nil or left_nil:
+            if node.op not in ("==", "!="):
+                raise OTTLSyntaxError(f"nil only compares with == / != (got {node.op!r})")
             target = node.left if right_nil else node.right
             col = _compile_node(target, attrs_col, name_col, resource_col)
             return col.isNull() if node.op == "==" else col.isNotNull()
         lc = _compile_node(node.left, attrs_col, name_col, resource_col)
         rc = _compile_node(node.right, attrs_col, name_col, resource_col)
-        return (lc == rc) if node.op == "==" else (lc != rc)
+        return {
+            "==": lc == rc,
+            "!=": lc != rc,
+            "<": lc < rc,
+            ">": lc > rc,
+            "<=": lc <= rc,
+            ">=": lc >= rc,
+        }[node.op]
     if isinstance(node, _BoolOp):
         cols = [_compile_node(p, attrs_col, name_col, resource_col) for p in node.parts]
         out = cols[0]
@@ -291,6 +310,36 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         if not isinstance(lst, _List):
             raise OTTLSyntaxError("FirstNonNil takes a list literal")
         return first_non_nil([comp(i) for i in lst.items])
+    if node.func == "IsMatch":
+        # ottlfuncs.IsMatch(target, pattern): pattern is a literal compiled
+        # once (ottl_functions.go registers StandardFuncs); partial match
+        # semantics == Java regex find == Column.rlike.  A nil target is an
+        # error in OTTL; NULL propagates through rlike and folds to skip in
+        # the rule predicate (the engine's error-as-null model, R6).
+        if len(node.args) != 2 or not isinstance(node.args[1], _Str):
+            raise OTTLSyntaxError("IsMatch takes (target, string-literal pattern)")
+        tgt, pat = node.args
+        return comp(tgt).rlike(pat.value)
+    if node.func == "Substring":
+        # ottlfuncs.Substring(target, start, length): 0-based start; errors
+        # when the range falls outside the string -> NULL here (error-as-null)
+        if (
+            len(node.args) != 3
+            or not isinstance(node.args[1], _Int)
+            or not isinstance(node.args[2], _Int)
+        ):
+            raise OTTLSyntaxError("Substring takes (target, int start, int length)")
+        tgt, start, length = node.args
+        if start.value < 0 or length.value < 0:
+            raise OTTLSyntaxError("Substring start/length must be non-negative")
+        col = comp(tgt)
+        return F.when(
+            F.length(col) >= start.value + length.value,
+            F.substring(col, start.value + 1, length.value),
+        )
+    if node.func == "Len":
+        (arg,) = node.args
+        return F.length(comp(arg)).cast("long")
     if node.func == "Concat":
         if len(node.args) != 2:
             raise OTTLSyntaxError("Concat takes (list, separator)")

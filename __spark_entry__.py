@@ -408,6 +408,70 @@ def _q_otlp_ingest_rows(spark, sf_dir):
     )
 
 
+def _q_otlp_proto_rows(spark, sf_dir):
+    """S1 (protobuf wire shape): documents -> deterministic
+    ExportTraceServiceRequest BYTES (pandas-UDF encode, public
+    opentelemetry-proto field numbers) -> the real wire decoder
+    (sources/otlp_proto.py) -> span frame.  Same field arithmetic as the
+    JSON ingest row, so the oracle re-derives the expected frame straight
+    from doc_id — the whole encode -> wire -> decode -> flatten path must
+    round-trip exactly."""
+    from otel_semconvprocessor_spark.sources.otlp_proto import (
+        encode_export_request,
+        spans_from_otlp_proto,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def enc(batches):
+        import hashlib
+
+        import pandas as pd
+
+        methods = ["GET", "POST", "PUT", "DELETE"]
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h = hashlib.md5(str(d).encode()).hexdigest()
+                payloads.append(
+                    encode_export_request(
+                        [
+                            {
+                                "resource": {"service.name": f"svc-{d % 4}"},
+                                "scope_name": "oracle-proto",
+                                "spans": [
+                                    {
+                                        "trace_id": h,
+                                        "span_id": h[:16],
+                                        "name": f"op-{d % 50}",
+                                        "kind": d % 6,
+                                        "attrs": {
+                                            "http.method": methods[d % 4],
+                                            "retry.count": d % 3,
+                                        },
+                                    }
+                                ],
+                            }
+                        ]
+                    )
+                )
+            if payloads:
+                yield pd.DataFrame({"payload": payloads})
+
+    out = spans_from_otlp_proto(docs.mapInPandas(enc, schema="payload binary"))
+    return out.select(
+        "trace_id",
+        "span_id",
+        "name",
+        "kind",
+        attr("attrs", "http.method").alias("method"),
+        attr("attrs", "retry.count").alias("retries"),
+        attr("resource", "service.name").alias("service"),
+        "scope_name",
+    )
+
+
 def _q_resource_attrs_rows(spark, sf_dir):
     """S6: resource-processor insert-if-absent — a never-present key is
     always added, a sometimes-present key is preserved where it exists."""
@@ -887,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pandas_rows": _q_extract_pandas_rows,
         "extraction_errors": _q_extraction_errors,
         "otlp_ingest_rows": _q_otlp_ingest_rows,
+        "otlp_proto_rows": _q_otlp_proto_rows,
         "resource_attrs_rows": _q_resource_attrs_rows,
         "duration_histogram": _q_duration_histogram,
         "dedup_exact_groups": _q_dedup_exact_groups,
@@ -1409,6 +1474,21 @@ SELECT json_extract_string(j, '{sp}.traceId') AS trace_id,
        json_extract_string(j, '$.resourceSpans[0].scopeSpans[0].scope.name') AS scope_name
 FROM jd"""
         )(),
+        # protobuf ingest: the oracle needs no wire step — it derives the
+        # expected frame from the same doc_id arithmetic the Spark side
+        # encodes, so any encode/decode/flatten defect breaks the match
+        "otlp_proto_rows": """SELECT md5(CAST(doc_id AS VARCHAR)) AS trace_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS span_id,
+       'op-' || CAST(doc_id % 50 AS VARCHAR) AS name,
+       CASE doc_id % 6 WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal'
+         WHEN 2 THEN 'server' WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+         ELSE 'consumer' END AS kind,
+       CASE doc_id % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' WHEN 2 THEN 'PUT'
+         ELSE 'DELETE' END AS method,
+       CAST(doc_id % 3 AS VARCHAR) AS retries,
+       'svc-' || CAST(doc_id % 4 AS VARCHAR) AS service,
+       'oracle-proto' AS scope_name
+FROM documents""",
         "resource_attrs_rows": f"""WITH {_SPANS}
 SELECT doc_id, 'otel-semconv-spark' AS collector_name,
        coalesce(http_route, 'default-route') AS route_attr

@@ -1,0 +1,337 @@
+"""OTLP protobuf trace ingestion: the reference's gRPC/HTTP-protobuf receiver
+surface (config.yaml:2-8 exposes :4317 grpc and :4318 http; a real OTLP feed
+is usually protobuf, not JSON).
+
+This module implements the protobuf WIRE FORMAT by hand (varint +
+length-delimited records — the public encoding, developers.google.com/
+protocol-buffers/docs/encoding) for exactly the message subset the span
+pipeline consumes, with field numbers from the public opentelemetry-proto
+schema (opentelemetry/proto/trace/v1/trace.proto):
+
+    ExportTraceServiceRequest: resource_spans = 1
+    ResourceSpans:   resource = 1, scope_spans = 2, schema_url = 3
+    Resource:        attributes = 1
+    ScopeSpans:      scope = 1, spans = 2, schema_url = 3
+    InstrumentationScope: name = 1
+    Span:            trace_id = 1, span_id = 2, name = 5, kind = 6 (varint),
+                     attributes = 9
+    KeyValue:        key = 1, value = 2
+    AnyValue:        string_value = 1, bool_value = 2, int_value = 3,
+                     double_value = 4
+
+Unknown fields of any wire type are skipped (forward-compatible, as protobuf
+requires).  The decode runs inside an Arrow-batched pandas UDF
+(``spans_from_otlp_proto``): payload bytes stream through mapInPandas, one
+Python decode per request (the mandated-UDF parse-stage shape, SURVEY §2.5)
+— never per-field driver work — and yield the SAME span frame as the JSON
+path (otlp_json.SPAN_ROW_SCHEMA), so everything downstream (semconv
+mapping, rule cascade, routing) is shared.
+
+Scale: requests are independent rows; decode is embarrassingly parallel and
+the output schema is identical to the JSON flatten, so the 100 TB plan is
+unchanged — only the leaf parse differs.
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+
+from pyspark.sql import DataFrame
+
+# Any UDF closure referencing this module's codec functions (the decode
+# operator below, fixture encoders in callers) must work on executor Python
+# workers that can't import the package (driver run from any cwd with only
+# sys.path.insert — no --py-files in local mode).  Registering the module for
+# BY-VALUE pickling makes cloudpickle ship the referenced function graph
+# instead of an import reference — the same worker-independence contract
+# extract.py keeps via a self-contained closure.  Idempotent; import-time so
+# it precedes any UDF serialization (which happens at plan build).
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - non-pyspark import contexts
+    pass
+
+__all__ = [
+    "encode_export_request",
+    "decode_export_request",
+    "spans_from_otlp_proto",
+    "KIND_NAMES",
+]
+
+# processor.go:172-189 kind enum -> string (same table as functions/scalars.py)
+KIND_NAMES = ["unspecified", "internal", "server", "client", "producer", "consumer"]
+
+
+# ---------------------------------------------------------------------------
+# wire primitives
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf int64: negatives go as two's-complement 64-bit varints
+        # (10 bytes) — Python's arithmetic shift never terminates otherwise
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _str_field(field: int, s: str) -> bytes:
+    return _len_field(field, s.encode("utf-8"))
+
+
+def _varint_field(field: int, n: int) -> bytes:
+    return _tag(field, 0) + _varint(n)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    result = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _skip(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:  # varint
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire == 1:  # fixed64
+        return pos + 8
+    if wire == 2:  # length-delimited
+        ln, pos = _read_varint(buf, pos)
+        return pos + ln
+    if wire == 5:  # fixed32
+        return pos + 4
+    raise ValueError(f"unsupported wire type {wire}")
+
+
+def _fields(buf: bytes):
+    """Iterate (field_number, wire_type, value) over one message.  value is
+    raw bytes for wire 2, the int for wire 0, raw 8/4 bytes for wire 1/5."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 1:
+            v = buf[pos : pos + 8]
+            pos += 8
+        elif wire == 5:
+            v = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, v
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture generation / round-trip testing)
+# ---------------------------------------------------------------------------
+
+
+def _encode_any_value(value) -> bytes:
+    if isinstance(value, bool):
+        return _varint_field(2, int(value))
+    if isinstance(value, int):
+        return _varint_field(3, value)
+    if isinstance(value, float):
+        import struct
+
+        return _tag(4, 1) + struct.pack("<d", value)
+    return _str_field(1, str(value))
+
+
+def _encode_kv(key: str, value) -> bytes:
+    return _str_field(1, key) + _len_field(2, _encode_any_value(value))
+
+
+def encode_export_request(resource_spans: list[dict]) -> bytes:
+    """Encode an ExportTraceServiceRequest.
+
+    ``resource_spans``: [{"resource": {attr: value, ...},
+                          "scope_name": str,
+                          "spans": [{"trace_id": hex-str, "span_id": hex-str,
+                                     "name": str, "kind": int,
+                                     "attrs": {k: v, ...}}, ...]}]
+    """
+    out = bytearray()
+    for rs in resource_spans:
+        body = bytearray()
+        res = rs.get("resource") or {}
+        if res:
+            res_body = b"".join(_len_field(1, _encode_kv(k, v)) for k, v in res.items())
+            body += _len_field(1, res_body)
+        scope = _str_field(1, rs.get("scope_name", ""))
+        spans = bytearray()
+        for sp in rs.get("spans", []):
+            sp_body = bytearray()
+            sp_body += _len_field(1, bytes.fromhex(sp["trace_id"]))
+            sp_body += _len_field(2, bytes.fromhex(sp["span_id"]))
+            sp_body += _str_field(5, sp["name"])
+            if sp.get("kind"):
+                sp_body += _varint_field(6, sp["kind"])
+            for k, v in (sp.get("attrs") or {}).items():
+                sp_body += _len_field(9, _encode_kv(k, v))
+            spans += _len_field(2, bytes(sp_body))
+        ss_body = _len_field(1, scope) + bytes(spans)
+        body += _len_field(2, ss_body)
+        out += _len_field(1, bytes(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_any_value(buf: bytes) -> str | None:
+    """AnyValue -> string, matching the processor's fmt.Sprintf('%v', ...)
+    stringification (processor.go:253) and the JSON path's cast-to-string."""
+    import struct
+
+    for field, wire, v in _fields(buf):
+        if field == 1 and wire == 2:
+            return v.decode("utf-8")
+        if field == 2 and wire == 0:
+            return "true" if v else "false"
+        if field == 3 and wire == 0:
+            # int64 arrives zigzag-free (plain varint; negative -> 2^64-n)
+            return str(v - (1 << 64) if v >= 1 << 63 else v)
+        if field == 4 and wire == 1:
+            return str(struct.unpack("<d", v)[0])
+    return None
+
+
+def _decode_kv(buf: bytes) -> tuple[str, str | None]:
+    key, val = "", None
+    for field, wire, v in _fields(buf):
+        if field == 1 and wire == 2:
+            key = v.decode("utf-8")
+        elif field == 2 and wire == 2:
+            val = _decode_any_value(v)
+    return key, val
+
+
+def _decode_span(buf: bytes) -> dict:
+    span = {"trace_id": "", "span_id": "", "name": "", "kind": 0, "attrs": {}}
+    for field, wire, v in _fields(buf):
+        if field == 1 and wire == 2:
+            span["trace_id"] = v.hex()
+        elif field == 2 and wire == 2:
+            span["span_id"] = v.hex()
+        elif field == 5 and wire == 2:
+            span["name"] = v.decode("utf-8")
+        elif field == 6 and wire == 0:
+            span["kind"] = v
+        elif field == 9 and wire == 2:
+            k, val = _decode_kv(v)
+            if k:
+                span["attrs"][k] = val
+    return span
+
+
+def decode_export_request(data: bytes) -> list[dict]:
+    """ExportTraceServiceRequest bytes -> flat span rows
+    (trace_id, span_id, name, kind:str, attrs, resource, scope_name) —
+    the same 3-level flatten as spans_from_otlp_df (processor.go:130-151)."""
+    rows = []
+    for field, wire, rs in _fields(data):
+        if field != 1 or wire != 2:
+            continue
+        resource: dict = {}
+        scope_spans = []
+        for f2, w2, v2 in _fields(rs):
+            if f2 == 1 and w2 == 2:  # Resource
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1 and w3 == 2:
+                        k, val = _decode_kv(v3)
+                        if k:
+                            resource[k] = val
+            elif f2 == 2 and w2 == 2:
+                scope_spans.append(v2)
+        for ss in scope_spans:
+            scope_name = ""
+            for f3, w3, v3 in _fields(ss):
+                if f3 == 1 and w3 == 2:  # InstrumentationScope
+                    for f4, w4, v4 in _fields(v3):
+                        if f4 == 1 and w4 == 2:
+                            scope_name = v4.decode("utf-8")
+            for f3, w3, v3 in _fields(ss):
+                if f3 == 2 and w3 == 2:  # Span
+                    sp = _decode_span(v3)
+                    kind = sp["kind"]
+                    rows.append(
+                        {
+                            "trace_id": sp["trace_id"],
+                            "span_id": sp["span_id"],
+                            "name": sp["name"],
+                            "kind": KIND_NAMES[kind] if 0 <= kind < 6 else "unspecified",
+                            "attrs": sp["attrs"],
+                            "resource": resource,
+                            "scope_name": scope_name,
+                        }
+                    )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# the Spark operator
+# ---------------------------------------------------------------------------
+
+
+def spans_from_otlp_proto(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode a binary OTLP-protobuf payload column into span rows with the
+    JSON path's SPAN_ROW_SCHEMA — Arrow-batched mapInPandas, one decode per
+    request row, no driver involvement."""
+    from .otlp_json import SPAN_ROW_SCHEMA
+
+    col = payload_col
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "trace_id": [], "span_id": [], "name": [], "kind": [],
+                "attrs": [], "resource": [], "scope_name": [],
+            }
+            for payload in pdf[col]:
+                if payload is None:
+                    continue
+                for row in decode_export_request(bytes(payload)):
+                    for k in out:
+                        out[k].append(row[k])
+            if out["trace_id"]:  # empty pdf would infer float64 for the
+                yield pd.DataFrame(out)  # map columns and break Arrow
+
+    return df.select(col).mapInPandas(decode_batches, schema=SPAN_ROW_SCHEMA)

@@ -340,6 +340,25 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
     if node.func == "Len":
         (arg,) = node.args
         return F.length(comp(arg)).cast("long")
+    if node.func == "ConvertCase":
+        # ottlfuncs.ConvertCase(target, toCase): "lower" | "upper" supported
+        # ("snake"/"camel" would need a UDF — raise clearly instead)
+        if len(node.args) != 2 or not isinstance(node.args[1], _Str):
+            raise OTTLSyntaxError('ConvertCase takes (target, "lower"|"upper")')
+        tgt, case = node.args
+        if case.value == "lower":
+            return F.lower(comp(tgt))
+        if case.value == "upper":
+            return F.upper(comp(tgt))
+        raise OTTLSyntaxError(
+            f"ConvertCase case {case.value!r} unsupported (lower/upper only)"
+        )
+    if node.func == "MD5":
+        (arg,) = node.args
+        return F.md5(comp(arg).cast("binary"))
+    if node.func == "SHA256":
+        (arg,) = node.args
+        return F.sha2(comp(arg).cast("binary"), 256)
     if node.func == "Concat":
         if len(node.args) != 2:
             raise OTTLSyntaxError("Concat takes (list, separator)")

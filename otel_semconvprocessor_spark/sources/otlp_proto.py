@@ -57,6 +57,7 @@ __all__ = [
     "encode_export_request",
     "decode_export_request",
     "spans_from_otlp_proto",
+    "read_otlp_proto_files",
     "KIND_NAMES",
 ]
 
@@ -307,6 +308,20 @@ def decode_export_request(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 # the Spark operator
 # ---------------------------------------------------------------------------
+
+
+def read_otlp_proto_files(spark, path: str) -> DataFrame:
+    """Read a directory/glob of OTLP-protobuf export files (one
+    ExportTraceServiceRequest per file — the shape an OTLP file exporter or
+    a gRPC capture produces) into span rows.  Uses Spark's binaryFile source:
+    files stream through executors, never the driver; decode is the same
+    Arrow-batched operator as any binary payload column."""
+    from pyspark.sql import functions as F
+
+    # binaryFile yields (path, modificationTime, length, content) — only the
+    # payload bytes travel into the decode stage
+    raw = spark.read.format("binaryFile").load(path).select(F.col("content").alias("payload"))
+    return spans_from_otlp_proto(raw, "payload")
 
 
 def spans_from_otlp_proto(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -162,3 +162,42 @@ def test_spark_proto_path_matches_json_path(spark, tmp_path):
 def test_empty_and_null_payloads(spark):
     pdf = spark.createDataFrame([(None,), (b"",)], "payload binary")
     assert spans_from_otlp_proto(pdf).count() == 0
+
+
+def test_read_otlp_proto_files_and_cascade(spark, tmp_path):
+    """Files -> binaryFile source -> decode -> the FULL rule cascade: the
+    protobuf receiver feeds the same engine as every other source."""
+    from otel_semconvprocessor_spark.config import reference_config
+    from otel_semconvprocessor_spark.operators.rules import apply_rules
+    from otel_semconvprocessor_spark.sources.otlp_proto import read_otlp_proto_files
+
+    d = tmp_path / "proto"
+    d.mkdir()
+    for i in range(4):
+        req = encode_export_request(
+            [
+                {
+                    "resource": {"service.name": f"svc{i}"},
+                    "scope_name": "files",
+                    "spans": [
+                        {
+                            "trace_id": f"{i:032x}",
+                            "span_id": f"{i:016x}",
+                            "name": f"raw-{i}",
+                            "kind": 2,  # server
+                            "attrs": {"http.request.method": "GET", "http.route": "/api/cart"},
+                        }
+                    ],
+                }
+            ]
+        )
+        (d / f"req-{i}.bin").write_bytes(req)
+
+    spans = read_otlp_proto_files(spark, str(d))
+    out = apply_rules(spans, reference_config())
+    rows = {r["trace_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["rule_id"] == "http_server_routes"
+        assert r["name"] == "GET /api/cart"
+        assert r["operation_type"] == "http"

@@ -79,3 +79,21 @@ def test_nil_rejects_ordering_compare():
 def test_unsupported_function_still_raises():
     with pytest.raises(OTTLSyntaxError):
         compile_ottl('Uppercase(name)')
+
+
+def test_convert_case(frame):
+    low = _col(frame, 'ConvertCase(name, "lower")')
+    up = _col(frame, 'ConvertCase(name, "upper")')
+    assert low[1] == "get /api/users" and up[2] == "SHORT" and low[4] is None
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ConvertCase(name, "snake")')
+
+
+def test_hash_converters(frame):
+    import hashlib
+
+    md5s = _col(frame, "MD5(name)")
+    shas = _col(frame, "SHA256(name)")
+    assert md5s[1] == hashlib.md5(b"GET /api/users").hexdigest()
+    assert shas[2] == hashlib.sha256(b"short").hexdigest()
+    assert md5s[4] is None and shas[4] is None

@@ -353,6 +353,31 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         raise OTTLSyntaxError(
             f"ConvertCase case {case.value!r} unsupported (lower/upper only)"
         )
+    if node.func == "Format":
+        # ottlfuncs.Format(formatString, [args]): Go fmt verbs.  %s/%d map
+        # 1:1 to java.lang.String.format (what format_string uses); %v is
+        # Go's default verb — everything here is already stringly, so it
+        # translates to %s.  Other verbs (%f width/precision, %x, ...) are
+        # rejected at compile time rather than silently mis-formatted.
+        if (
+            len(node.args) != 2
+            or not isinstance(node.args[0], _Str)
+            or not isinstance(node.args[1], _List)
+        ):
+            raise OTTLSyntaxError("Format takes (string-literal format, [args])")
+        fmt, lst = node.args
+        java_fmt = fmt.value.replace("%v", "%s")
+        if re.search(r"%[^sd%]", java_fmt):
+            raise OTTLSyntaxError(
+                f"Format verb outside %s/%d/%v unsupported in {fmt.value!r}"
+            )
+        cols = [comp(i) for i in lst.items]
+        out = F.format_string(java_fmt, *cols)
+        # format_string renders a NULL arg as the string 'null'; OTTL treats
+        # a nil arg as an error -> NULL here (error-as-null model, R6/R8)
+        for c in cols:
+            out = F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
+        return out
     if node.func == "MD5":
         (arg,) = node.args
         return F.md5(comp(arg).cast("binary"))

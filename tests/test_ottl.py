@@ -97,3 +97,15 @@ def test_hash_converters(frame):
     assert md5s[1] == hashlib.md5(b"GET /api/users").hexdigest()
     assert shas[2] == hashlib.sha256(b"short").hexdigest()
     assert md5s[4] is None and shas[4] is None
+
+
+def test_format(frame):
+    got = _col(frame, 'Format("%s took %d ms", [name, Len(name)])')
+    assert got[2] == "short took 5 ms"
+    assert got[4] is None
+    got_v = _col(frame, 'Format("op=%v", [name])')
+    assert got_v[1] == "op=GET /api/users"
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Format("%x", [name])')
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl("Format(name, [name])")

@@ -378,6 +378,41 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         for c in cols:
             out = F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
         return out
+    if node.func == "ExtractPatterns":
+        # ottlfuncs.ExtractPatterns(target, pattern): named capture groups
+        # become map entries.  The groups are known at COMPILE time (literal
+        # pattern), so this lowers to one regexp_extract per group — pure
+        # expression work, no UDF.  OTTL omits non-matching groups from the
+        # map; regexp_extract yields '' on no-match, so empty extractions
+        # are filtered out of the entry list.
+        if len(node.args) != 2 or not isinstance(node.args[1], _Str):
+            raise OTTLSyntaxError("ExtractPatterns takes (target, string-literal pattern)")
+        tgt, pat = node.args
+        try:
+            # OTTL patterns are Go RE2 syntax: named groups are (?P<name>...)
+            groupindex = re.compile(pat.value).groupindex  # name -> group no.
+        except re.error as exc:
+            raise OTTLSyntaxError(f"ExtractPatterns pattern invalid: {exc}") from exc
+        if not groupindex:
+            raise OTTLSyntaxError(
+                "ExtractPatterns pattern must contain at least one named "
+                "capture group (?P<name>...)"
+            )
+        # Java regex (what regexp_extract runs) spells named groups
+        # (?<name>...); extraction is by GROUP NUMBER so mixed unnamed
+        # groups keep their indices
+        java_pat = pat.value.replace("(?P<", "(?<")
+        col = comp(tgt)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("key"),
+                    F.regexp_extract(col, java_pat, num).alias("value"),
+                )
+                for g, num in groupindex.items()
+            ]
+        )
+        return F.map_from_entries(F.filter(entries, lambda e: e["value"] != ""))
     if node.func == "MD5":
         (arg,) = node.args
         return F.md5(comp(arg).cast("binary"))

@@ -109,3 +109,17 @@ def test_format(frame):
         compile_ottl('Format("%x", [name])')
     with pytest.raises(OTTLSyntaxError):
         compile_ottl("Format(name, [name])")
+
+
+def test_extract_patterns(frame):
+    got = _col(
+        frame,
+        'ExtractPatterns(attributes["db.statement"], "^(?P<verb>[A-Z]+)(?:.* FROM (?P<table>[a-z]+))?")',
+    )
+    assert got[1] == {"verb": "SELECT", "table": "users"}
+    assert got[2] == {"verb": "INSERT"}  # non-matching group omitted
+    assert got[3] == {}  # no db.statement -> null target -> empty map? or None
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ExtractPatterns(name, "no groups here")')
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ExtractPatterns(name, "(?P<broken")')

@@ -58,6 +58,7 @@ __all__ = [
     "decode_export_request",
     "spans_from_otlp_proto",
     "read_otlp_proto_files",
+    "read_otlp_proto_stream",
     "KIND_NAMES",
 ]
 
@@ -324,13 +325,47 @@ def read_otlp_proto_files(spark, path: str) -> DataFrame:
     return spans_from_otlp_proto(raw, "payload")
 
 
-def spans_from_otlp_proto(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_otlp_proto_stream(spark, path: str, *, on_error: str = "skip") -> DataFrame:
+    """Structured-Streaming twin of ``read_otlp_proto_files``: new request
+    files appearing under ``path`` stream through the same decode operator
+    (mapInPandas is streaming-safe: stateless per-batch).  Default
+    ``on_error='skip'`` — a continuously-ingesting receiver drops malformed
+    requests rather than wedging the stream."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .load(path)
+        .select(F.col("content").alias("payload"))
+    )
+    return spans_from_otlp_proto(raw, "payload", on_error=on_error)
+
+
+def spans_from_otlp_proto(
+    df: DataFrame, payload_col: str = "payload", *, on_error: str = "fail"
+) -> DataFrame:
     """Decode a binary OTLP-protobuf payload column into span rows with the
     JSON path's SPAN_ROW_SCHEMA — Arrow-batched mapInPandas, one decode per
-    request row, no driver involvement."""
+    request row, no driver involvement.
+
+    ``on_error``: ``'fail'`` (default) propagates a malformed payload as a
+    task error; ``'skip'`` drops malformed requests wholesale — the
+    collector-receiver behavior for a broken export request, and the only
+    sane mode for a web-scale feed where some fraction of payloads is
+    always garbage (count the drop rate by differencing request counts,
+    M8-style)."""
     from .otlp_json import SPAN_ROW_SCHEMA
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     col = payload_col
+    skip = on_error == "skip"
 
     def decode_batches(batches):
         import pandas as pd
@@ -343,7 +378,13 @@ def spans_from_otlp_proto(df: DataFrame, payload_col: str = "payload") -> DataFr
             for payload in pdf[col]:
                 if payload is None:
                     continue
-                for row in decode_export_request(bytes(payload)):
+                try:
+                    rows = decode_export_request(bytes(payload))
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    if skip:
+                        continue
+                    raise
+                for row in rows:
                     for k in out:
                         out[k].append(row[k])
             if out["trace_id"]:  # empty pdf would infer float64 for the

@@ -201,3 +201,55 @@ def test_read_otlp_proto_files_and_cascade(spark, tmp_path):
         assert r["rule_id"] == "http_server_routes"
         assert r["name"] == "GET /api/cart"
         assert r["operation_type"] == "http"
+
+
+def test_malformed_payload_skip_and_fail(spark):
+    good = encode_export_request(
+        [{"resource": {}, "scope_name": "s",
+          "spans": [{"trace_id": "aa" * 16, "span_id": "bb" * 8,
+                     "name": "ok", "kind": 1, "attrs": {}}]}]
+    )
+    bad = b"\xff\xfe\x07not protobuf at all"
+    pdf = spark.createDataFrame([(good,), (bad,)], "payload binary")
+    rows = spans_from_otlp_proto(pdf, on_error="skip").collect()
+    assert [r["name"] for r in rows] == ["ok"]
+    with pytest.raises(Exception):
+        spans_from_otlp_proto(pdf, on_error="fail").collect()
+    with pytest.raises(ValueError):
+        spans_from_otlp_proto(pdf, on_error="quarantine")
+
+
+def test_streaming_proto_matches_batch(spark, tmp_path):
+    """availableNow drain of the streaming proto source == the batch reader
+    on the same files."""
+    from otel_semconvprocessor_spark.sources.otlp_proto import (
+        read_otlp_proto_files,
+        read_otlp_proto_stream,
+    )
+
+    d = tmp_path / "stream-in"
+    d.mkdir()
+    for i in range(3):
+        (d / f"r{i}.bin").write_bytes(
+            encode_export_request(
+                [{"resource": {"service.name": f"s{i}"}, "scope_name": "st",
+                  "spans": [{"trace_id": f"{i:032x}", "span_id": f"{i:016x}",
+                             "name": f"n{i}", "kind": 2,
+                             "attrs": {"http.method": "GET"}}]}]
+            )
+        )
+    out = str(tmp_path / "stream-out")
+    q = (
+        read_otlp_proto_stream(spark, str(d))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(repr(sorted(r.asDict(True).items(), key=str))
+                 for r in spark.read.parquet(out).collect())
+    want = sorted(repr(sorted(r.asDict(True).items(), key=str))
+                  for r in read_otlp_proto_files(spark, str(d)).collect())
+    assert got == want and len(got) == 3

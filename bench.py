@@ -486,7 +486,12 @@ def write_baseline_md(
         " nothing the floor needed while making each scaling pair ~620s,"
         " too expensive to sample more than ONE host window per driver run"
         " (BENCH_r03: single loaded window, 0.643).  2M keeps the cap"
-        " >= 0.9 and fits 2-3 probe-gated windows in the same budget.",
+        " >= 0.9 and fits 2-3 probe-gated windows in the same budget."
+        "  The tiny broadcast mapping/dim tables are built ONCE per session"
+        " (the bench passes mappings_df=/dims= into build_normalized), so"
+        " their createDataFrame cost sits outside per-run S — the r3 review"
+        " asked for this contribution to be priced: it is ~0.3-0.5s once"
+        " per session, zero per run.",
         "",
         "## Why the scaling pair is 2 -> 8 cores on this box",
         "",

@@ -267,6 +267,44 @@ def run_operator_benches(cores: int, sf_dir: str, out_dir: str) -> dict:
 
         cfg = reference_config()
         bench("extract_native", lambda: extract_pages_native(pages).select(F.count(F.lit(1))).collect())
+        # OTLP protobuf ingest (round 4): 200k single-span export requests
+        # encoded once (untimed, persisted) then decoded through the real
+        # wire decoder — prices the new receiver surface per request
+        from otel_semconvprocessor_spark.sources.otlp_proto import (
+            encode_export_request,
+            spans_from_otlp_proto,
+        )
+
+        def _enc(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf):
+                    yield pd.DataFrame(
+                        {
+                            "payload": [
+                                encode_export_request(
+                                    [{
+                                        "resource": {"service.name": f"svc-{i % 4}"},
+                                        "scope_name": "bench",
+                                        "spans": [{
+                                            "trace_id": f"{i:032x}",
+                                            "span_id": f"{i:016x}",
+                                            "name": f"op-{i % 83}",
+                                            "kind": (i % 5) + 1,
+                                            "attrs": {"http.method": "GET", "retry.count": i % 3},
+                                        }],
+                                    }]
+                                )
+                                for i in pdf["id"]
+                            ]
+                        }
+                    )
+
+        proto_src = spark.range(200_000).mapInPandas(_enc, schema="payload binary").persist()
+        proto_src.count()
+        bench("otlp_proto_decode_200k", lambda: spans_from_otlp_proto(proto_src).count())
+        proto_src.unpersist()
         bench(
             "cascade_native",
             lambda: apply_rules(extract_pages_native(pages), cfg)

@@ -141,6 +141,12 @@ def _q_rule_cascade_ismatch(spark, sf_dir):
             operation_type='"trimmed"',
         ),
         OTTLRule(
+            id="upper_short", priority=25,
+            condition='Len(name) <= 6 and IsMatch(name, "^orig-[0-4]$")',
+            operation_name='ConvertCase(name, "upper")',
+            operation_type='Format("len_%d", [Len(name)])',
+        ),
+        OTTLRule(
             id="short_names", priority=30,
             condition="name != nil",
             operation_name="name",
@@ -1393,16 +1399,19 @@ matched AS (SELECT *, CASE
   WHEN preset_opname IS NOT NULL THEN NULL
   WHEN kind = 'client' AND regexp_matches(db_statement, '^SELECT') AND db_system IS NOT NULL THEN 'select_queries'
   WHEN length(name) > 6 THEN 'long_names'
+  WHEN length(name) <= 6 AND regexp_matches(name, '^orig-[0-4]$') THEN 'upper_short'
   WHEN name IS NOT NULL THEN 'short_names'
   END AS rule_id FROM ev)
 SELECT doc_id, rule_id,
   CASE rule_id
     WHEN 'select_queries' THEN 'query ' || db_system
     WHEN 'long_names' THEN substring(name, 1, 6)
+    WHEN 'upper_short' THEN upper(name)
     WHEN 'short_names' THEN name END AS operation_name,
   CASE rule_id
     WHEN 'select_queries' THEN 'db_select'
     WHEN 'long_names' THEN 'trimmed'
+    WHEN 'upper_short' THEN 'len_' || CAST(length(name) AS VARCHAR)
     WHEN 'short_names' THEN 'passthrough' END AS operation_type
 FROM matched""",
         "rule_effectiveness": f"""WITH {cascade}

@@ -398,10 +398,13 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
                 "ExtractPatterns pattern must contain at least one named "
                 "capture group (?P<name>...)"
             )
-        # Java regex (what regexp_extract runs) spells named groups
-        # (?<name>...); extraction is by GROUP NUMBER so mixed unnamed
-        # groups keep their indices
-        java_pat = pat.value.replace("(?P<", "(?<")
+        # Extraction is by GROUP NUMBER, so the Java pattern doesn't need the
+        # names at all — rewrite (?P<name> to a plain '(' (numbering is
+        # unchanged).  Translating to Java's (?<name>...) instead would break
+        # on OTTL/RE2-legal names like http_method: Java restricts group
+        # names to [A-Za-z][A-Za-z0-9]* and throws PatternSyntaxException at
+        # executor runtime, past compile-time validation.
+        java_pat = re.sub(r"\(\?P<[^>]+>", "(", pat.value)
         col = comp(tgt)
         entries = F.array(
             *[
@@ -412,7 +415,12 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
                 for g, num in groupindex.items()
             ]
         )
-        return F.map_from_entries(F.filter(entries, lambda e: e["value"] != ""))
+        # OTTL errors on a nil target; error-as-null model (R6) -> NULL map,
+        # consistent with IsMatch/Substring — not an empty {}.
+        return F.when(
+            col.isNotNull(),
+            F.map_from_entries(F.filter(entries, lambda e: e["value"] != "")),
+        )
     if node.func == "MD5":
         (arg,) = node.args
         return F.md5(comp(arg).cast("binary"))

@@ -117,20 +117,6 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("varint too long")
 
 
-def _skip(buf: bytes, pos: int, wire: int) -> int:
-    if wire == 0:  # varint
-        _, pos = _read_varint(buf, pos)
-        return pos
-    if wire == 1:  # fixed64
-        return pos + 8
-    if wire == 2:  # length-delimited
-        ln, pos = _read_varint(buf, pos)
-        return pos + ln
-    if wire == 5:  # fixed32
-        return pos + 4
-    raise ValueError(f"unsupported wire type {wire}")
-
-
 def _fields(buf: bytes):
     """Iterate (field_number, wire_type, value) over one message.  value is
     raw bytes for wire 2, the int for wire 0, raw 8/4 bytes for wire 1/5."""
@@ -143,12 +129,18 @@ def _fields(buf: bytes):
             v, pos = _read_varint(buf, pos)
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError("truncated length-delimited field")
             v = buf[pos : pos + ln]
             pos += ln
         elif wire == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64 field")
             v = buf[pos : pos + 8]
             pos += 8
         elif wire == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32 field")
             v = buf[pos : pos + 4]
             pos += 4
         else:
@@ -368,6 +360,8 @@ def spans_from_otlp_proto(
     skip = on_error == "skip"
 
     def decode_batches(batches):
+        import struct
+
         import pandas as pd
 
         for pdf in batches:
@@ -380,7 +374,7 @@ def spans_from_otlp_proto(
                     continue
                 try:
                     rows = decode_export_request(bytes(payload))
-                except (ValueError, IndexError, UnicodeDecodeError):
+                except (ValueError, IndexError, UnicodeDecodeError, struct.error):
                     if skip:
                         continue
                     raise

@@ -164,6 +164,47 @@ def test_empty_and_null_payloads(spark):
     assert spans_from_otlp_proto(pdf).count() == 0
 
 
+def test_truncated_payload_raises_not_partial():
+    """Every truncation point of a valid request must raise ValueError (or
+    IndexError from a cut varint) — never silently decode to partial spans
+    (round-5 advice: unchecked buf[pos:pos+ln] slices)."""
+    full = encode_export_request(REQ)
+    rows_full = len(decode_export_request(full))
+    for cut in range(1, len(full)):
+        try:
+            rows = decode_export_request(full[:cut])
+        except (ValueError, IndexError):
+            continue
+        # the only acceptable non-error outcome would be a prefix that is
+        # itself a well-formed request; truncating inside any length-delimited
+        # field is detected, so nothing shorter may parse to full row count
+        assert len(rows) < rows_full, f"cut={cut} silently decoded all rows"
+
+
+def test_truncated_fixed64_skip_mode(spark):
+    """A payload cut inside a fixed64 AnyValue (double attr) must be droppable
+    by on_error='skip', not fail the task (round-5 advice: struct.error)."""
+    req = encode_export_request(
+        [{"resource": {}, "scope_name": "s",
+          "spans": [{"trace_id": "ab" * 16, "span_id": "cd" * 8,
+                     "name": "n", "kind": 1, "attrs": {"weight": 0.5}}]}]
+    )
+    # cut 4 bytes into the trailing 8-byte double payload
+    bad = req[:-4]
+    with pytest.raises(ValueError):
+        decode_export_request(bad)
+    good = encode_export_request(
+        [{"resource": {}, "scope_name": "s",
+          "spans": [{"trace_id": "ee" * 16, "span_id": "ff" * 8,
+                     "name": "ok", "kind": 1, "attrs": {}}]}]
+    )
+    pdf = spark.createDataFrame([(bad,), (good,)], "payload binary")
+    out = spans_from_otlp_proto(pdf, on_error="skip").collect()
+    assert [r["name"] for r in out] == ["ok"]
+    with pytest.raises(Exception):
+        spans_from_otlp_proto(pdf, on_error="fail").collect()
+
+
 def test_read_otlp_proto_files_and_cascade(spark, tmp_path):
     """Files -> binaryFile source -> decode -> the FULL rule cascade: the
     protobuf receiver feeds the same engine as every other source."""

@@ -118,8 +118,22 @@ def test_extract_patterns(frame):
     )
     assert got[1] == {"verb": "SELECT", "table": "users"}
     assert got[2] == {"verb": "INSERT"}  # non-matching group omitted
-    assert got[3] == {}  # no db.statement -> null target -> empty map? or None
+    # nil target is an error upstream -> error-as-null here (like IsMatch),
+    # NOT an empty map
+    assert got[3] is None
     with pytest.raises(OTTLSyntaxError):
         compile_ottl('ExtractPatterns(name, "no groups here")')
     with pytest.raises(OTTLSyntaxError):
         compile_ottl('ExtractPatterns(name, "(?P<broken")')
+
+
+def test_extract_patterns_underscore_group_names(frame):
+    """RE2/Python group names allow underscores; Java's don't — the compiled
+    pattern must extract by number with names stripped, not crash the executor
+    with PatternSyntaxException (round-5 advice)."""
+    got = _col(
+        frame,
+        'ExtractPatterns(attributes["db.statement"], "^(?P<sql_verb>[A-Z]+) (?P<the_rest>.*)$")',
+    )
+    assert got[1] == {"sql_verb": "SELECT", "the_rest": "* FROM users WHERE id = 1"}
+    assert got[3] is None

@@ -164,6 +164,49 @@ def _q_rule_cascade_ismatch(spark, sf_dir):
     return n.select("doc_id", "rule_id", "operation_name", "operation_type")
 
 
+def _q_rule_cascade_stdfuncs(spark, sf_dir):
+    """Round-5 registry widening: a cascade whose value expressions chain the
+    NEW standard functions — ConvertCase "snake", ReplacePattern, Trim,
+    Format, Duration/Seconds, String (functions/stdfuncs.py) — through the
+    SAME engine (ottl.py -> rules.py CASE chain).  The reference accepts any
+    ottlfuncs.StandardFuncs() name (ottl_functions.go:19)."""
+    from otel_semconvprocessor_spark.config import (
+        Config,
+        OTTLRule,
+        SpanProcessingConfig,
+    )
+
+    rules = [
+        OTTLRule(
+            id="rpc_snake", priority=10,
+            condition='attributes["rpc.service"] != nil and attributes["rpc.method"] != nil',
+            operation_name='ConvertCase(attributes["rpc.service"], "snake")',
+            operation_type='ConvertCase(attributes["rpc.method"], "snake")',
+        ),
+        OTTLRule(
+            id="sql_compact", priority=20,
+            condition='attributes["db.statement"] != nil',
+            operation_name='Trim(ReplacePattern(attributes["db.statement"], "\\s+", " "))',
+            operation_type='"compacted"',
+        ),
+        OTTLRule(
+            id="dur_str", priority=30,
+            condition='IsMatch(name, "^orig-")',
+            operation_name='String(Seconds(Duration(Format("%ss", [ReplacePattern(name, "^orig-", "")]))))',
+            operation_type='"duration"',
+        ),
+    ]
+    cfg = Config(
+        enabled=True,
+        span_processing=SpanProcessingConfig(
+            enabled=True, mode="enforce", preserve_original_name=True, rules=rules
+        ),
+    )
+    cfg.validate()
+    n = apply_rules(doc_spans(spark, sf_dir), cfg)
+    return n.select("doc_id", "rule_id", "operation_name", "operation_type")
+
+
 def _q_rule_effectiveness(spark, sf_dir):
     """M2: span_names_enforced by (rule_id, operation_type, mode)."""
     n = _normalized(spark, sf_dir)
@@ -944,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_rows": _q_rule_cascade_rows,
         "rule_cascade_broadcast": _q_rule_cascade_broadcast,
         "rule_cascade_ismatch": _q_rule_cascade_ismatch,
+        "rule_cascade_stdfuncs": _q_rule_cascade_stdfuncs,
         "rule_effectiveness": _q_rule_effectiveness,
         "sink_route_counts": _q_sink_route_counts,
         "cardinality_metrics": _q_cardinality_metrics,
@@ -1049,6 +1093,18 @@ def _parse_sql_sql(col: str) -> str:
       WHEN {dlt} <> '' THEN 'DELETE ' || {_clean_tbl(dlt)}
       WHEN {first} <> '' THEN upper({first})
       ELSE 'UNKNOWN' END"""
+
+
+def _snake_sql(col: str) -> str:
+    """strcase.ToSnake re-derived in DuckDB SQL (RE2 'g' flag; same
+    left-to-right non-overlapping scan as Java's replaceAll) — the oracle twin
+    of stdfuncs.to_snake_case."""
+    s = f"regexp_replace({col}, '[ \\-.]', '_', 'g')"
+    s = f"regexp_replace({s}, '([A-Z])([A-Z][a-z])', '\\1_\\2', 'g')"
+    s = f"regexp_replace({s}, '([a-z0-9])([A-Z])', '\\1_\\2', 'g')"
+    s = f"regexp_replace({s}, '([A-Za-z])([0-9])', '\\1_\\2', 'g')"
+    s = f"regexp_replace({s}, '([0-9])([a-z])', '\\1_\\2', 'g')"
+    return f"lower({s})"
 
 
 # the first-match-wins cascade as one CASE (priority order = config.go sort)
@@ -1413,6 +1469,29 @@ SELECT doc_id, rule_id,
     WHEN 'long_names' THEN 'trimmed'
     WHEN 'upper_short' THEN 'len_' || CAST(length(name) AS VARCHAR)
     WHEN 'short_names' THEN 'passthrough' END AS operation_type
+FROM matched""",
+        # independent re-derivation of the stdfuncs cascade: snake-case is
+        # the regexp chain above; ReplacePattern+Trim is regexp_replace 'g' +
+        # trim; the Duration chain ("Ns" -> seconds -> string) collapses to
+        # CAST(doc_id % 83 AS DOUBLE) since name = 'orig-' || doc_id % 83
+        "rule_cascade_stdfuncs": f"""WITH {_SPANS},
+matched AS (SELECT *, CASE
+  WHEN preset_opname IS NOT NULL THEN NULL
+  WHEN rpc_service IS NOT NULL AND rpc_method IS NOT NULL THEN 'rpc_snake'
+  WHEN db_statement IS NOT NULL THEN 'sql_compact'
+  WHEN regexp_matches(name, '^orig-') THEN 'dur_str'
+  END AS rule_id FROM ev)
+SELECT doc_id, rule_id,
+  CASE rule_id
+    WHEN 'rpc_snake' THEN {_snake_sql('rpc_service')}
+    WHEN 'sql_compact' THEN trim(regexp_replace(db_statement, '\\s+', ' ', 'g'))
+    WHEN 'dur_str' THEN CAST(CAST(doc_id % 83 AS DOUBLE) AS VARCHAR)
+  END AS operation_name,
+  CASE rule_id
+    WHEN 'rpc_snake' THEN {_snake_sql('rpc_method')}
+    WHEN 'sql_compact' THEN 'compacted'
+    WHEN 'dur_str' THEN 'duration'
+  END AS operation_type
 FROM matched""",
         "rule_effectiveness": f"""WITH {cascade}
 SELECT rule_id, coalesce(operation_type, '') AS operation_type,

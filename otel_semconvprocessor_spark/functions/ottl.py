@@ -20,9 +20,16 @@ plus the constructs used in the reference's tests):
                | "[" expr ("," expr)* "]"    -- list literal
                | "(" expr ")"
 
-Functions: NormalizePath, ParseSQL, RemoveQueryParams, FirstNonNil, Concat
-(ottl_functions.go:17-28).  ``Concat(list, sep)`` requires its separator to be
-a string literal, as in every shipped rule.
+Functions: the 5 custom ones (NormalizePath, ParseSQL, RemoveQueryParams,
+FirstNonNil, Concat — ottl_functions.go:17-28) plus the high-frequency
+``ottlfuncs.StandardFuncs()`` converters (the reference merges the whole
+standard registry, ottl_functions.go:19): IsMatch, Substring, Len,
+ConvertCase (lower/upper/snake/camel), Format, ExtractPatterns, MD5, SHA1,
+SHA256, Split, Trim, ReplacePattern, ReplaceAllPatterns, Int, Double, String,
+Duration, Hours/Minutes/Seconds/Milliseconds/Microseconds/Nanoseconds,
+ParseJSON — see ``SUPPORTED_FUNCTIONS`` and the README conformance table.
+``Concat(list, sep)`` requires its separator to be a string literal, as in
+every shipped rule.
 
 Null semantics map 1:1:
   * ``attributes["k"]`` on a missing key -> NULL (pcommon miss -> nil).
@@ -47,12 +54,55 @@ from .scalars import (
     parse_sql,
     remove_query_params,
 )
+from .stdfuncs import (
+    duration_ns,
+    ottl_split,
+    ottl_trim,
+    parse_json_flat,
+    replace_pattern,
+    to_camel_case,
+    to_snake_case,
+)
 
-__all__ = ["compile_ottl", "OTTLSyntaxError"]
+__all__ = ["compile_ottl", "OTTLSyntaxError", "SUPPORTED_FUNCTIONS"]
 
 
 class OTTLSyntaxError(ValueError):
     """Raised when an expression falls outside the supported OTTL subset."""
+
+
+# Duration(x) yields total nanoseconds (double); the converters divide/cast
+# with upstream ottlfuncs return types (Hours/Minutes/Seconds -> float64,
+# Milliseconds/Microseconds/Nanoseconds -> int64)
+_DURATION_CONVERTERS = {
+    "Hours": (3.6e12, "double"),
+    "Minutes": (6e10, "double"),
+    "Seconds": (1e9, "double"),
+    "Milliseconds": (1e6, "long"),
+    "Microseconds": (1e3, "long"),
+    "Nanoseconds": (1.0, "long"),
+}
+
+#: every function name ``_compile_call`` dispatches — the compile-or-reject
+#: contract surface (README conformance table, tests/test_conformance.py)
+SUPPORTED_FUNCTIONS = frozenset(
+    [
+        "NormalizePath", "ParseSQL", "RemoveQueryParams", "FirstNonNil", "Concat",
+        "IsMatch", "Substring", "Len", "ConvertCase", "Format", "ExtractPatterns",
+        "MD5", "SHA256", "SHA1", "Split", "Trim", "ReplacePattern",
+        "ReplaceAllPatterns", "Int", "Double", "String", "Duration", "ParseJSON",
+        *_DURATION_CONVERTERS,
+    ]
+)
+
+
+def _validate_regex(pattern: str) -> None:
+    """Compile-time pattern validation (the reference's parser errors at
+    startup on a bad pattern, processor.go:81-118 — never at runtime)."""
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise OTTLSyntaxError(f"invalid regex pattern {pattern!r}: {exc}") from exc
 
 
 _TOKEN_RE = re.compile(
@@ -108,6 +158,11 @@ class _Nil:
 @dataclass
 class _AttrRef:
     key: str
+    scope: str  # "attributes" | "resource.attributes"
+
+
+@dataclass
+class _MapRef:
     scope: str  # "attributes" | "resource.attributes"
 
 
@@ -214,6 +269,10 @@ class _Parser:
             self.expect(")")
             return node
         if tok in ("attributes", "resource.attributes"):
+            if self.peek() != "[":
+                # bare map reference — target of whole-map converters like
+                # ReplaceAllPatterns(attributes, "value", ...)
+                return _MapRef(tok)
             self.expect("[")
             key = self.next()
             if not key.startswith('"'):
@@ -256,6 +315,12 @@ def _compile_node(node, attrs_col: Column, name_col: Column, resource_col: Colum
         if resource_col is None:
             raise OTTLSyntaxError("resource.attributes used but no resource column provided")
         return attr(resource_col, node.key)
+    if isinstance(node, _MapRef):
+        if node.scope == "attributes":
+            return attrs_col
+        if resource_col is None:
+            raise OTTLSyntaxError("resource.attributes used but no resource column provided")
+        return resource_col
     if isinstance(node, _NameRef):
         return name_col
     if isinstance(node, _Int):
@@ -292,19 +357,22 @@ def _compile_node(node, attrs_col: Column, name_col: Column, resource_col: Colum
     raise OTTLSyntaxError(f"unsupported node {node!r}")
 
 
+def _unary(node: _Call):
+    if len(node.args) != 1:
+        raise OTTLSyntaxError(f"{node.func} takes exactly 1 argument, got {len(node.args)}")
+    return node.args[0]
+
+
 def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
     def comp(n):
         return _compile_node(n, attrs_col, name_col, resource_col)
 
     if node.func == "NormalizePath":
-        (arg,) = node.args
-        return normalize_path(comp(arg))
+        return normalize_path(comp(_unary(node)))
     if node.func == "ParseSQL":
-        (arg,) = node.args
-        return parse_sql(comp(arg))
+        return parse_sql(comp(_unary(node)))
     if node.func == "RemoveQueryParams":
-        (arg,) = node.args
-        return remove_query_params(comp(arg))
+        return remove_query_params(comp(_unary(node)))
     if node.func == "FirstNonNil":
         (lst,) = node.args
         if not isinstance(lst, _List):
@@ -319,6 +387,7 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         if len(node.args) != 2 or not isinstance(node.args[1], _Str):
             raise OTTLSyntaxError("IsMatch takes (target, string-literal pattern)")
         tgt, pat = node.args
+        _validate_regex(pat.value)  # parser errors at startup, never at runtime
         return comp(tgt).rlike(pat.value)
     if node.func == "Substring":
         # ottlfuncs.Substring(target, start, length): 0-based start; errors
@@ -338,21 +407,100 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
             F.substring(col, start.value + 1, length.value),
         )
     if node.func == "Len":
-        (arg,) = node.args
-        return F.length(comp(arg)).cast("long")
+        return F.length(comp(_unary(node))).cast("long")
     if node.func == "ConvertCase":
-        # ottlfuncs.ConvertCase(target, toCase): "lower" | "upper" supported
-        # ("snake"/"camel" would need a UDF — raise clearly instead)
+        # ottlfuncs.ConvertCase(target, toCase): all four upstream cases.
+        # snake/camel are regexp_replace / split-transform chains — still
+        # pure expressions (stdfuncs.to_snake_case / to_camel_case)
         if len(node.args) != 2 or not isinstance(node.args[1], _Str):
-            raise OTTLSyntaxError('ConvertCase takes (target, "lower"|"upper")')
+            raise OTTLSyntaxError('ConvertCase takes (target, "lower"|"upper"|"snake"|"camel")')
         tgt, case = node.args
         if case.value == "lower":
             return F.lower(comp(tgt))
         if case.value == "upper":
             return F.upper(comp(tgt))
+        if case.value == "snake":
+            return to_snake_case(comp(tgt))
+        if case.value == "camel":
+            return to_camel_case(comp(tgt))
         raise OTTLSyntaxError(
-            f"ConvertCase case {case.value!r} unsupported (lower/upper only)"
+            f"ConvertCase case {case.value!r} unsupported (lower/upper/snake/camel)"
         )
+    if node.func == "Split":
+        # ottlfuncs.Split(target, delimiter): Go strings.Split — the literal
+        # delimiter splits verbatim, never as a regex
+        if len(node.args) != 2 or not isinstance(node.args[1], _Str):
+            raise OTTLSyntaxError("Split takes (target, string-literal delimiter)")
+        if node.args[1].value == "":
+            raise OTTLSyntaxError("Split delimiter must be non-empty")
+        return ottl_split(comp(node.args[0]), node.args[1].value)
+    if node.func == "Trim":
+        # ottlfuncs.Trim(target[, chars]): strip leading/trailing cutset
+        # chars, default " "
+        if (
+            len(node.args) not in (1, 2)
+            or (len(node.args) == 2 and not isinstance(node.args[1], _Str))
+        ):
+            raise OTTLSyntaxError("Trim takes (target[, string-literal chars])")
+        cutset = node.args[1].value if len(node.args) == 2 else " "
+        return ottl_trim(comp(node.args[0]), cutset)
+    if node.func == "ReplacePattern":
+        # value-returning form of the replace_pattern editor: the target
+        # string with every regex match substituted
+        if (
+            len(node.args) != 3
+            or not isinstance(node.args[1], _Str)
+            or not isinstance(node.args[2], _Str)
+        ):
+            raise OTTLSyntaxError(
+                "ReplacePattern takes (target, string-literal pattern, string-literal replacement)"
+            )
+        tgt, pat, repl = node.args
+        _validate_regex(pat.value)
+        return replace_pattern(comp(tgt), pat.value, repl.value)
+    if node.func == "ReplaceAllPatterns":
+        # replace_all_patterns(target-map, "key"|"value", pattern,
+        # replacement): rewrite every key or value of an attribute map —
+        # transform_keys / transform_values keep it a pure expression
+        if (
+            len(node.args) != 4
+            or not isinstance(node.args[0], _MapRef)
+            or not isinstance(node.args[1], _Str)
+            or not isinstance(node.args[2], _Str)
+            or not isinstance(node.args[3], _Str)
+        ):
+            raise OTTLSyntaxError(
+                'ReplaceAllPatterns takes (attributes-map, "key"|"value", pattern, replacement)'
+            )
+        mref, mode, pat, repl = node.args
+        _validate_regex(pat.value)
+        mcol = comp(mref)
+        if mode.value == "value":
+            return F.transform_values(
+                mcol, lambda k, v: replace_pattern(v, pat.value, repl.value)
+            )
+        if mode.value == "key":
+            return F.transform_keys(
+                mcol, lambda k, v: replace_pattern(k, pat.value, repl.value)
+            )
+        raise OTTLSyntaxError(f'ReplaceAllPatterns mode must be "key"|"value", got {mode.value!r}')
+    if node.func == "Int":
+        # ottlfuncs.Int: string -> ParseInt base 10, error -> nil; try_cast
+        # has the same reject set (ANSI bigint grammar, no floats)
+        return comp(_unary(node)).try_cast("long")
+    if node.func == "Double":
+        return comp(_unary(node)).try_cast("double")
+    if node.func == "String":
+        return comp(_unary(node)).cast("string")
+    if node.func == "Duration":
+        return duration_ns(comp(_unary(node)))
+    if node.func in _DURATION_CONVERTERS:
+        divisor, out_type = _DURATION_CONVERTERS[node.func]
+        return (comp(_unary(node)) / F.lit(divisor)).cast(out_type)
+    if node.func == "SHA1":
+        return F.sha1(comp(_unary(node)).cast("binary"))
+    if node.func == "ParseJSON":
+        return parse_json_flat(comp(_unary(node)))
     if node.func == "Format":
         # ottlfuncs.Format(formatString, [args]): Go fmt verbs.  %s/%d map
         # 1:1 to java.lang.String.format (what format_string uses); %v is
@@ -422,11 +570,9 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
             F.map_from_entries(F.filter(entries, lambda e: e["value"] != "")),
         )
     if node.func == "MD5":
-        (arg,) = node.args
-        return F.md5(comp(arg).cast("binary"))
+        return F.md5(comp(_unary(node)).cast("binary"))
     if node.func == "SHA256":
-        (arg,) = node.args
-        return F.sha2(comp(arg).cast("binary"), 256)
+        return F.sha2(comp(_unary(node)).cast("binary"), 256)
     if node.func == "Concat":
         if len(node.args) != 2:
             raise OTTLSyntaxError("Concat takes (list, separator)")

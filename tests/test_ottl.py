@@ -86,7 +86,7 @@ def test_convert_case(frame):
     up = _col(frame, 'ConvertCase(name, "upper")')
     assert low[1] == "get /api/users" and up[2] == "SHORT" and low[4] is None
     with pytest.raises(OTTLSyntaxError):
-        compile_ottl('ConvertCase(name, "snake")')
+        compile_ottl('ConvertCase(name, "kebab")')
 
 
 def test_hash_converters(frame):

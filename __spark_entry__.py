@@ -751,6 +751,32 @@ def _q_multimodal_frame_plan(spark, sf_dir):
     )
 
 
+def _q_multimodal_decode_stats(spark, sf_dir):
+    """Round-5 un-stubbed decode: REAL PNG/WAV blobs are encoded
+    executor-side from doc_id (operators/media_codecs.py, pure stdlib), then
+    decoded back through decode_and_featurize(fake=False); per-kind dims /
+    duration / scaled-mean-level aggregates must equal the DuckDB oracle's
+    closed-form doc_id arithmetic.  mean_level is scaled by 2048*255 before
+    rounding: fill/255 * 522240 = fill*2048 and amp/32768 * 522240 = amp*255
+    are exact integers, so the comparison is drift-free."""
+    from otel_semconvprocessor_spark.operators.multimodal import (
+        decode_and_featurize,
+        media_from_ids,
+    )
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    feats = decode_and_featurize(media_from_ids(ids), fake=False, id_col="doc_id")
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("decoded_width").alias("sum_w"),
+        F.sum("decoded_height").alias("sum_h"),
+        F.sum("decoded_duration_ms").alias("sum_dur_ms"),
+        F.sum(F.round(F.col("mean_level") * F.lit(2048 * 255)).cast("long")).alias(
+            "level_scaled"
+        ),
+    )
+
+
 def _q_streaming_cascade_counts(spark, sf_dir):
     """Streaming twin with a REAL oracle: the documents table consumed as a
     file-source stream, derived to spans (same dialect-neutral SQL), run
@@ -1019,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_label_stats": _q_embedding_label_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
+        "multimodal_decode_stats": _q_multimodal_decode_stats,
         "streaming_cascade_counts": _q_streaming_cascade_counts,
         "events_route_counts": _q_events_route_counts,
         "events_daily": _q_events_daily,
@@ -1655,6 +1682,19 @@ FROM embeddings GROUP BY 1""",
 SELECT media_id, n AS n_samples,
        CASE WHEN n >= 2 THEN 1000 END AS second_ts
 FROM m""",
+        # closed-form re-derivation of the PNG/WAV round-trip: the blob
+        # parameters are pure doc_id arithmetic (multimodal._png_params /
+        # _wav_params), so decode results never need a codec on this side
+        "multimodal_decode_stats": """WITH m AS (
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+  FROM documents)
+SELECT kind, count(*) AS n,
+  CAST(sum(CASE WHEN kind = 'image' THEN 8 + doc_id % 24 END) AS BIGINT) AS sum_w,
+  CAST(sum(CASE WHEN kind = 'image' THEN 8 + doc_id % 16 END) AS BIGINT) AS sum_h,
+  CAST(sum(CASE WHEN kind = 'audio' THEN (400 + (doc_id % 50) * 40) // 8 END) AS BIGINT) AS sum_dur_ms,
+  CAST(sum(CASE WHEN kind = 'image' THEN (doc_id % 256) * 2048
+                ELSE (doc_id % 1000) * 255 END) AS BIGINT) AS level_scaled
+FROM m GROUP BY kind""",
         "streaming_cascade_counts": f"""WITH {_cascade_cte()}
 SELECT coalesce(rule_id, '<none>') AS rule_id, count(*) AS n FROM named GROUP BY 1""",
         "events_route_counts": """SELECT event_type, count(*) AS n,

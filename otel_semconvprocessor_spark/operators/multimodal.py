@@ -1,12 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(clearly marked below): with ``fake=True`` it produces deterministic
-hash-derived features so the Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested; with ``fake=False`` it
-raises NotImplementedError where a real ``PIL.Image.open`` / ``soundfile``
-call would go.
+Round 5 makes the decode step REAL for the formats the Python stdlib can
+handle — PNG (zlib/struct) and WAV (wave/struct) via
+:mod:`.media_codecs` — decoded inside the same Arrow batch iterator.
+Formats that genuinely need external codec libraries (JPEG, MP4) keep the
+honest ``NotImplementedError`` stub; payloads are routed by sniffing their
+magic bytes, as real decoders do.
 
 MEDIA_SCHEMA is the canonical lakehouse layout for binary payloads:
 content-addressed id, modality kind, raw bytes, and a typed metadata struct
@@ -16,14 +16,30 @@ must be able to select metadata without reading bytes).
 
 from __future__ import annotations
 
+import sys as _sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import media_codecs
+
+# ship the codec functions by value with any UDF closure (same
+# worker-independence contract as sources/otlp_proto.py: executors may not
+# have the package importable in local no---py-files runs)
+try:  # pragma: no cover - non-pyspark import contexts
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(media_codecs)
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 __all__ = [
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
     "synthetic_media",
+    "media_from_ids",
     "decode_and_featurize",
     "frame_sample_plan",
 ]
@@ -49,12 +65,15 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id string, kind string, n_bytes long, feature array<float>, "
-    "resized_width int, resized_height int, n_frames_sampled int"
+    "resized_width int, resized_height int, n_frames_sampled int, "
+    "decoded_width int, decoded_height int, decoded_duration_ms int, "
+    "mean_level double"
 )
 
 
 def synthetic_media(spark: SparkSession, n: int, seed: int = 7) -> DataFrame:
-    """Deterministic fake media rows (bytes = hash-derived), Spark-native."""
+    """Deterministic fake media rows (bytes = hash-derived, NOT decodable),
+    Spark-native — the plumbing/prune-plan fixture."""
     df = spark.range(n).withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
     kind = (
         F.when(F.pmod("__h", F.lit(3)) == 0, "image")
@@ -78,6 +97,47 @@ def synthetic_media(spark: SparkSession, n: int, seed: int = 7) -> DataFrame:
     )
 
 
+# deterministic blob-parameter derivations (shared with the DuckDB oracle,
+# which re-derives them from doc_id arithmetic — __spark_entry__.py
+# multimodal_decode_stats)
+def _png_params(i: int) -> tuple[int, int, int]:
+    return 8 + i % 24, 8 + i % 16, i % 256  # width, height, fill
+
+
+def _wav_params(i: int) -> tuple[int, int, int]:
+    return 400 + (i % 50) * 40, 1 + i % 2, (i % 1000) * 16  # frames, channels, amp
+
+
+def media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decodable media blobs derived deterministically from an id
+    column: even ids encode a PNG (constant fill), odd ids a PCM-16 WAV
+    (constant amplitude) — both via the pure-stdlib codecs, generated
+    executor-side in Arrow batches (no driver loop, no rand())."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                if i % 2 == 0:
+                    w, h, fill = _png_params(i)
+                    blob = media_codecs.encode_png(w, h, (fill, fill, fill))
+                    kinds.append("image")
+                else:
+                    frames, ch, amp = _wav_params(i)
+                    blob = media_codecs.encode_wav(frames, 8000, ch, amp)
+                    kinds.append("audio")
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({id_col: ids, "kind": kinds, "bytes": blobs})
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, kind string, bytes binary"
+    )
+
+
 def decode_and_featurize(
     df: DataFrame,
     *,
@@ -85,14 +145,24 @@ def decode_and_featurize(
     feature_dim: int = 8,
     resize_to: tuple[int, int] = (224, 224),
     frames_per_video: int = 4,
+    id_col: str = "media_id",
 ) -> DataFrame:
     """Decode -> feature-extract -> resize / frame-sample, as ONE
     mapInPandas pass (bytes cross the Arrow boundary once).
 
+    ``fake=True``: deterministic hash-derived features (plumbing mode —
+    schema, partitioning, batch shape exercised without codecs).
+
+    ``fake=False``: REAL decode. Payloads are sniffed by magic bytes: PNG and
+    WAV decode through :mod:`.media_codecs` (dims / duration / mean level +
+    content-derived features); anything else — JPEG, MP4, garbage — raises
+    NotImplementedError, the retained honest stub for formats that need
+    external codec libraries.
+
     The closure is self-contained (pickled by value — no package import needed
-    on executors).  Batch shape: one pandas DataFrame per Arrow batch; output
-    rows 1:1 with input (frame sampling yields a count + pooled feature, not
-    exploded frames — explode at this layer would multiply blob traffic).
+    on executors).  Output rows 1:1 with input (frame sampling yields a count
+    + pooled feature, not exploded frames — explode at this layer would
+    multiply blob traffic).
     """
     rw, rh = resize_to
 
@@ -102,36 +172,83 @@ def decode_and_featurize(
         import numpy as np
         import pandas as pd
 
+        def pad(vals):
+            out = list(vals)[:feature_dim]
+            return [float(v) for v in out] + [0.0] * (feature_dim - len(out))
+
         for pdf in batches:
             feats, nbytes, frames = [], [], []
+            dws, dhs, ddur, levels = [], [], [], []
             for kind, blob in zip(pdf["kind"], pdf["bytes"]):
                 data = bytes(blob) if blob is not None else b""
                 nbytes.append(len(data))
-                if not fake:
-                    # STUB: real decode goes here (PIL / soundfile / pyav) —
-                    # codecs are not available in this container.
-                    raise NotImplementedError(
-                        "real media decode requires image/audio codecs; "
-                        "run with fake=True in this environment"
+                if fake:
+                    digest = hashlib.sha256(data).digest()
+                    vec = np.frombuffer(digest[: feature_dim * 4], dtype=np.uint32)
+                    feats.append((vec.astype(np.float64) / 2**32).astype(np.float32))
+                    dws.append(None)
+                    dhs.append(None)
+                    ddur.append(None)
+                    levels.append(None)
+                elif data[:8] == media_codecs.PNG_SIGNATURE:
+                    d = media_codecs.decode_png(data)
+                    feats.append(
+                        np.array(
+                            pad(
+                                [d["mean_level"]] * d["channels"]
+                                + [d["width"] / 4096.0, d["height"] / 4096.0]
+                            ),
+                            dtype=np.float32,
+                        )
                     )
-                # deterministic fake 'embedding': digest-seeded, unit-scaled
-                digest = hashlib.sha256(data).digest()
-                vec = np.frombuffer(digest[: feature_dim * 4], dtype=np.uint32)
-                feats.append((vec.astype(np.float64) / 2**32).astype(np.float32))
+                    dws.append(d["width"])
+                    dhs.append(d["height"])
+                    ddur.append(None)
+                    levels.append(d["mean_level"])
+                elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    d = media_codecs.decode_wav(data)
+                    feats.append(
+                        np.array(
+                            pad(
+                                [
+                                    d["mean_level"],
+                                    d["sample_rate"] / 48000.0,
+                                    d["duration_ms"] / 60000.0,
+                                    float(d["channels"]),
+                                ]
+                            ),
+                            dtype=np.float32,
+                        )
+                    )
+                    dws.append(None)
+                    dhs.append(None)
+                    ddur.append(d["duration_ms"])
+                    levels.append(d["mean_level"])
+                else:
+                    raise NotImplementedError(
+                        "real media decode: no stdlib codec for this payload "
+                        "(PNG/WAV supported; JPEG/MP4 need external codec "
+                        "libraries not present in this container)"
+                    )
                 frames.append(frames_per_video if kind == "video" else 1)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": pdf[id_col].astype(str),
                     "kind": pdf["kind"],
                     "n_bytes": nbytes,
                     "feature": [list(map(float, f)) for f in feats],
                     "resized_width": rw,
                     "resized_height": rh,
                     "n_frames_sampled": frames,
+                    "decoded_width": pd.array(dws, dtype="Int32"),
+                    "decoded_height": pd.array(dhs, dtype="Int32"),
+                    "decoded_duration_ms": pd.array(ddur, dtype="Int32"),
+                    "mean_level": pd.array(levels, dtype="float64"),
                 }
             )
 
-    return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+    cols = [id_col, "kind", "bytes"]
+    return df.select(*cols).mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

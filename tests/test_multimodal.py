@@ -43,9 +43,52 @@ def test_featurize_fake(media):
     assert a == b
 
 
-def test_featurize_real_decode_is_stubbed(media):
+def test_featurize_exotic_formats_stay_stubbed(media):
+    """synthetic_media's payloads are NOT decodable (hash bytes tagged jpeg/
+    mp4/wav) — fake=False must hit the retained NotImplementedError stub, not
+    silently fabricate features."""
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_and_featurize(media, fake=False).collect()
+
+
+def test_real_decode_round_trip(spark):
+    """media_from_ids encodes REAL PNG/WAV blobs executor-side; fake=False
+    decodes them back — dims/duration/mean level must equal the closed-form
+    parameter derivations (the same arithmetic the DuckDB oracle uses)."""
+    from otel_semconvprocessor_spark.operators.multimodal import media_from_ids
+
+    ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = media_from_ids(ids)
+    out = decode_and_featurize(media, fake=False, id_col="doc_id").collect()
+    assert len(out) == 40
+    for r in out:
+        i = int(r["media_id"])
+        if i % 2 == 0:
+            assert r["kind"] == "image"
+            assert r["decoded_width"] == 8 + i % 24
+            assert r["decoded_height"] == 8 + i % 16
+            assert r["decoded_duration_ms"] is None
+            assert r["mean_level"] == pytest.approx((i % 256) / 255.0)
+            assert r["feature"][0] == pytest.approx((i % 256) / 255.0, abs=1e-6)
+        else:
+            assert r["kind"] == "audio"
+            assert r["decoded_width"] is None and r["decoded_height"] is None
+            frames = 400 + (i % 50) * 40
+            assert r["decoded_duration_ms"] == frames * 1000 // 8000
+            assert r["mean_level"] == pytest.approx(((i % 1000) * 16) / 32768.0)
+
+
+def test_real_decode_corrupt_blob_fails_loudly(spark):
+    """A PNG-signature payload with garbage body must raise (strict decoder),
+    never yield fabricated stats."""
+    from otel_semconvprocessor_spark.operators.media_codecs import PNG_SIGNATURE
+
+    df = spark.createDataFrame(
+        [("x1", "image", PNG_SIGNATURE + b"\x00" * 16)],
+        "media_id string, kind string, bytes binary",
+    )
+    with pytest.raises(Exception, match="png|truncated|ValueError"):
+        decode_and_featurize(df, fake=False).collect()
 
 
 def test_frame_sample_plan_prunes_blob(media, tmp_path):

@@ -751,6 +751,74 @@ def _q_multimodal_frame_plan(spark, sf_dir):
     )
 
 
+def _q_proto_signal_passthrough(spark, sf_dir):
+    """S8 wire-shape parity (round 5): metrics and logs export requests —
+    encoded executor-side from doc_id with the public opentelemetry-proto
+    field numbers, decoded by the hand-rolled wire codec
+    (sources/otlp_proto.py signals_from_otlp_proto) — traverse the engine
+    unchanged (the reference's timed no-op, processor.go:327-375) and are
+    counted/routed: metrics by data oneof kind, logs by severity band."""
+    from otel_semconvprocessor_spark.operators.exporters import passthrough
+    from otel_semconvprocessor_spark.sources.otlp_proto import (
+        SEVERITY_BANDS,
+        encode_logs_request,
+        encode_metrics_request,
+        signals_from_otlp_proto,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    mtypes = ["gauge", "sum", "histogram"]
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mp, lp = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mp.append(
+                    encode_metrics_request(
+                        [{"resource": {"service.name": f"svc-{d % 4}"},
+                          "scope_name": "meter",
+                          "metrics": [{"name": f"m-{d % 20}",
+                                       "unit": "ms" if d % 2 == 0 else "1",
+                                       "type": mtypes[d % 3],
+                                       "points": 1 + d % 4}]}]
+                    )
+                )
+                lp.append(
+                    encode_logs_request(
+                        [{"resource": {"service.name": f"svc-{d % 4}"},
+                          "scope_name": "logger",
+                          "records": [{"severity_number": 1 + d % 24,
+                                       "severity_text": "",
+                                       "body": f"body-{d % 10}"}]}]
+                    )
+                )
+            if mp:
+                yield pd.DataFrame({"metrics_payload": mp, "logs_payload": lp})
+
+    payloads = docs.mapInPandas(
+        enc, schema="metrics_payload binary, logs_payload binary"
+    )
+    metrics = passthrough(
+        signals_from_otlp_proto(payloads, "metrics", "metrics_payload")
+    )
+    logs = passthrough(signals_from_otlp_proto(payloads, "logs", "logs_payload"))
+
+    m_counts = metrics.groupBy(F.col("metric_type").alias("route")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("data_points").alias("points")
+    ).select(F.lit("metrics").alias("signal"), "route", "n", "points")
+    band = F.element_at(
+        F.lit(SEVERITY_BANDS), ((F.col("severity_number") - 1) / 4).cast("int") + 1
+    )
+    l_counts = logs.groupBy(band.alias("route")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("severity_number").cast("long").alias("points"),
+    ).select(F.lit("logs").alias("signal"), "route", "n", "points")
+    return m_counts.unionByName(l_counts)
+
+
 def _q_multimodal_decode_stats(spark, sf_dir):
     """Round-5 un-stubbed decode: REAL PNG/WAV blobs are encoded
     executor-side from doc_id (operators/media_codecs.py, pure stdlib), then
@@ -1046,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": _q_embedding_label_stats,
         "multimodal_frame_plan": _q_multimodal_frame_plan,
         "multimodal_decode_stats": _q_multimodal_decode_stats,
+        "proto_signal_passthrough": _q_proto_signal_passthrough,
         "streaming_cascade_counts": _q_streaming_cascade_counts,
         "events_route_counts": _q_events_route_counts,
         "events_daily": _q_events_daily,
@@ -1682,6 +1751,20 @@ FROM embeddings GROUP BY 1""",
 SELECT media_id, n AS n_samples,
        CASE WHEN n >= 2 THEN 1000 END AS second_ts
 FROM m""",
+        # re-derivation of the metrics/logs passthrough straight from doc_id
+        # (the wire encode->decode must be lossless for these fields)
+        "proto_signal_passthrough": """WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum' ELSE 'histogram' END AS route,
+         1 + doc_id % 4 AS pts FROM documents),
+l AS (SELECT 1 + doc_id % 24 AS sev FROM documents)
+SELECT 'metrics' AS signal, route, count(*) AS n, CAST(sum(pts) AS BIGINT) AS points
+FROM m GROUP BY route
+UNION ALL
+SELECT 'logs' AS signal,
+       CASE ((sev - 1) // 4) WHEN 0 THEN 'TRACE' WHEN 1 THEN 'DEBUG' WHEN 2 THEN 'INFO'
+            WHEN 3 THEN 'WARN' WHEN 4 THEN 'ERROR' ELSE 'FATAL' END AS route,
+       count(*) AS n, CAST(sum(sev) AS BIGINT) AS points
+FROM l GROUP BY 2""",
         # closed-form re-derivation of the PNG/WAV round-trip: the blob
         # parameters are pure doc_id arithmetic (multimodal._png_params /
         # _wav_params), so decode results never need a codec on this side

@@ -8,13 +8,14 @@ pipeline change:
 
   * ``IcebergCatalog`` — the production implementation: genuine
     ``df.writeTo("<catalog>.<ns>.<table>")`` V2 calls with
-    ``partitionedBy(days(warc_ts), lang)`` hidden partitioning.  It needs a
-    V2 catalog on the classpath (iceberg-spark-runtime + a
-    ``spark.sql.catalog.<name>`` config); this container has none, so the
-    class is code-complete but only exercised in prod.  (Verified here:
-    Spark's built-in session catalog bridges only ``create`` — ``append`` /
-    ``overwritePartitions`` raise "Cannot write into v1 table" — so a
-    faithful in-sandbox V2 test is impossible without the Iceberg jar.)
+    ``partitionedBy(days(warc_ts), lang)`` hidden partitioning.  The VERBS
+    are engine-verified in-sandbox against a real V2 TableCatalog — the
+    Derby-backed JDBCTableCatalog that ships inside pyspark's jars
+    (tests/test_catalog.py::test_iceberg_catalog_verbs_against_real_v2_catalog
+    runs create_or_replace / append / read through the genuine CatalogManager
+    path).  Only the ``days()`` hidden-partition transform still requires the
+    iceberg-spark-runtime jar (JDBC tables are unpartitioned); that remains a
+    first-use-on-cluster smoke.
   * ``ParquetDirCatalog`` — this sandbox: one directory per table,
     identity-partitioned subdirs (``warc_day`` standing in for
     ``days(warc_ts)``).  Semantics matched to the V2 verbs: createOrReplace
@@ -116,10 +117,12 @@ class IcebergCatalog(SinkCatalog):
 
     @staticmethod
     def _transforms(partition_cols: list[str]):
+        from pyspark.sql.functions import partitioning
+
         out = []
         for c in partition_cols:
             if c.startswith("days(") and c.endswith(")"):
-                out.append(F.days(F.col(c[5:-1])))
+                out.append(partitioning.days(F.col(c[5:-1])))
             else:
                 out.append(F.col(c))
         return out

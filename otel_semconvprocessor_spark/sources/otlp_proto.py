@@ -60,6 +60,14 @@ __all__ = [
     "read_otlp_proto_files",
     "read_otlp_proto_stream",
     "KIND_NAMES",
+    "encode_metrics_request",
+    "decode_metrics_request",
+    "encode_logs_request",
+    "decode_logs_request",
+    "signals_from_otlp_proto",
+    "METRIC_ROW_SCHEMA",
+    "LOG_ROW_SCHEMA",
+    "SEVERITY_BANDS",
 ]
 
 # processor.go:172-189 kind enum -> string (same table as functions/scalars.py)
@@ -296,6 +304,265 @@ def decode_export_request(data: bytes) -> list[dict]:
                         }
                     )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# metrics / logs signals (S8 wire-shape parity)
+#
+# The reference declares metrics and logs pipelines as timed NO-OPS
+# (processor.go:327-343, 346-375): signals traverse unchanged and get
+# counted.  We decode just enough of the public wire shapes to count and
+# route them through the passthrough sink.  Field numbers from
+# opentelemetry/proto/metrics/v1/metrics.proto and logs/v1/logs.proto:
+#
+#   ExportMetricsServiceRequest: resource_metrics = 1
+#   ResourceMetrics: resource = 1, scope_metrics = 2, schema_url = 3
+#   ScopeMetrics:    scope = 1, metrics = 2
+#   Metric:          name = 1, description = 2, unit = 3,
+#                    data oneof: gauge = 5, sum = 7, histogram = 9,
+#                    exponential_histogram = 10, summary = 11
+#   Gauge/Sum/Histogram: data_points = 1 (Sum: aggregation_temporality = 2,
+#                    is_monotonic = 3)
+#
+#   ExportLogsServiceRequest: resource_logs = 1
+#   ResourceLogs:    resource = 1, scope_logs = 2, schema_url = 3
+#   ScopeLogs:       scope = 1, log_records = 2
+#   LogRecord:       time_unix_nano = 1, severity_number = 2,
+#                    severity_text = 3, body = 5 (AnyValue), attributes = 6
+# ---------------------------------------------------------------------------
+
+METRIC_ROW_SCHEMA = (
+    "metric_name string, metric_type string, unit string, data_points long, "
+    "resource map<string,string>, scope_name string"
+)
+LOG_ROW_SCHEMA = (
+    "severity_number int, severity_text string, body string, n_attrs int, "
+    "resource map<string,string>, scope_name string"
+)
+
+_METRIC_DATA_FIELDS = {5: "gauge", 7: "sum", 9: "histogram", 10: "exponential_histogram", 11: "summary"}
+
+# opentelemetry-proto SeverityNumber bands (logs.proto enum, 4 values/level)
+SEVERITY_BANDS = ["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
+
+
+def encode_metrics_request(resource_metrics: list[dict]) -> bytes:
+    """Encode an ExportMetricsServiceRequest.
+
+    ``resource_metrics``: [{"resource": {k: v}, "scope_name": str,
+                            "metrics": [{"name": str, "unit": str,
+                                         "type": gauge|sum|histogram,
+                                         "points": int}]}]
+    Data points are minimal valid messages (all-default NumberDataPoint /
+    HistogramDataPoint) — enough for a counting no-op pipeline.
+    """
+    type_field = {v: k for k, v in _METRIC_DATA_FIELDS.items()}
+    out = bytearray()
+    for rm in resource_metrics:
+        body = bytearray()
+        res = rm.get("resource") or {}
+        if res:
+            res_body = b"".join(_len_field(1, _encode_kv(k, v)) for k, v in res.items())
+            body += _len_field(1, res_body)
+        sm = bytearray()
+        sm += _len_field(1, _str_field(1, rm.get("scope_name", "")))
+        for m in rm.get("metrics", []):
+            m_body = bytearray()
+            m_body += _str_field(1, m["name"])
+            if m.get("unit"):
+                m_body += _str_field(3, m["unit"])
+            data = bytearray()
+            for _ in range(m.get("points", 1)):
+                data += _len_field(1, b"")  # all-default data point
+            if m.get("type", "gauge") == "sum":
+                data += _varint_field(2, 2)  # CUMULATIVE
+                data += _varint_field(3, 1)  # is_monotonic
+            m_body += _len_field(type_field[m.get("type", "gauge")], bytes(data))
+            sm += _len_field(2, bytes(m_body))
+        body += _len_field(2, bytes(sm))
+        out += _len_field(1, bytes(body))
+    return bytes(out)
+
+
+def decode_metrics_request(data: bytes) -> list[dict]:
+    """ExportMetricsServiceRequest bytes -> one row per metric with its data
+    oneof kind and data-point count — the countable passthrough shape."""
+    rows = []
+    for field, wire, rm in _fields(data):
+        if field != 1 or wire != 2:
+            continue
+        resource: dict = {}
+        scope_metrics = []
+        for f2, w2, v2 in _fields(rm):
+            if f2 == 1 and w2 == 2:
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1 and w3 == 2:
+                        k, val = _decode_kv(v3)
+                        if k:
+                            resource[k] = val
+            elif f2 == 2 and w2 == 2:
+                scope_metrics.append(v2)
+        for sm in scope_metrics:
+            scope_name = ""
+            metrics = []
+            for f3, w3, v3 in _fields(sm):
+                if f3 == 1 and w3 == 2:
+                    for f4, w4, v4 in _fields(v3):
+                        if f4 == 1 and w4 == 2:
+                            scope_name = v4.decode("utf-8")
+                elif f3 == 2 and w3 == 2:
+                    metrics.append(v3)
+            for mb in metrics:
+                name, unit, mtype, points = "", "", "empty", 0
+                for f4, w4, v4 in _fields(mb):
+                    if f4 == 1 and w4 == 2:
+                        name = v4.decode("utf-8")
+                    elif f4 == 3 and w4 == 2:
+                        unit = v4.decode("utf-8")
+                    elif f4 in _METRIC_DATA_FIELDS and w4 == 2:
+                        mtype = _METRIC_DATA_FIELDS[f4]
+                        points = sum(
+                            1 for f5, w5, _ in _fields(v4) if f5 == 1 and w5 == 2
+                        )
+                rows.append(
+                    {
+                        "metric_name": name,
+                        "metric_type": mtype,
+                        "unit": unit,
+                        "data_points": points,
+                        "resource": resource,
+                        "scope_name": scope_name,
+                    }
+                )
+    return rows
+
+
+def encode_logs_request(resource_logs: list[dict]) -> bytes:
+    """Encode an ExportLogsServiceRequest.
+
+    ``resource_logs``: [{"resource": {k: v}, "scope_name": str,
+                         "records": [{"severity_number": int,
+                                      "severity_text": str, "body": str,
+                                      "attrs": {k: v}}]}]
+    """
+    out = bytearray()
+    for rl in resource_logs:
+        body = bytearray()
+        res = rl.get("resource") or {}
+        if res:
+            res_body = b"".join(_len_field(1, _encode_kv(k, v)) for k, v in res.items())
+            body += _len_field(1, res_body)
+        sl = bytearray()
+        sl += _len_field(1, _str_field(1, rl.get("scope_name", "")))
+        for rec in rl.get("records", []):
+            r_body = bytearray()
+            if rec.get("severity_number"):
+                r_body += _varint_field(2, rec["severity_number"])
+            if rec.get("severity_text"):
+                r_body += _str_field(3, rec["severity_text"])
+            if rec.get("body") is not None:
+                r_body += _len_field(5, _encode_any_value(rec["body"]))
+            for k, v in (rec.get("attrs") or {}).items():
+                r_body += _len_field(6, _encode_kv(k, v))
+            sl += _len_field(2, bytes(r_body))
+        body += _len_field(2, bytes(sl))
+        out += _len_field(1, bytes(body))
+    return bytes(out)
+
+
+def decode_logs_request(data: bytes) -> list[dict]:
+    """ExportLogsServiceRequest bytes -> one row per log record."""
+    rows = []
+    for field, wire, rl in _fields(data):
+        if field != 1 or wire != 2:
+            continue
+        resource: dict = {}
+        scope_logs = []
+        for f2, w2, v2 in _fields(rl):
+            if f2 == 1 and w2 == 2:
+                for f3, w3, v3 in _fields(v2):
+                    if f3 == 1 and w3 == 2:
+                        k, val = _decode_kv(v3)
+                        if k:
+                            resource[k] = val
+            elif f2 == 2 and w2 == 2:
+                scope_logs.append(v2)
+        for sl in scope_logs:
+            scope_name = ""
+            for f3, w3, v3 in _fields(sl):
+                if f3 == 1 and w3 == 2:
+                    for f4, w4, v4 in _fields(v3):
+                        if f4 == 1 and w4 == 2:
+                            scope_name = v4.decode("utf-8")
+            for f3, w3, v3 in _fields(sl):
+                if f3 == 2 and w3 == 2:
+                    sev, sev_text, body_str, n_attrs = 0, "", None, 0
+                    for f4, w4, v4 in _fields(v3):
+                        if f4 == 2 and w4 == 0:
+                            sev = v4
+                        elif f4 == 3 and w4 == 2:
+                            sev_text = v4.decode("utf-8")
+                        elif f4 == 5 and w4 == 2:
+                            body_str = _decode_any_value(v4)
+                        elif f4 == 6 and w4 == 2:
+                            n_attrs += 1
+                    rows.append(
+                        {
+                            "severity_number": sev,
+                            "severity_text": sev_text,
+                            "body": body_str,
+                            "n_attrs": n_attrs,
+                            "resource": resource,
+                            "scope_name": scope_name,
+                        }
+                    )
+    return rows
+
+
+def signals_from_otlp_proto(
+    df: DataFrame,
+    signal: str,
+    payload_col: str = "payload",
+    *,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Decode a binary metrics/logs export-request column into signal rows —
+    the same Arrow-batched mapInPandas shape as ``spans_from_otlp_proto``.
+    The rows then traverse the engine unchanged (passthrough, S8): counting
+    and routing happen on the decoded frame with ordinary expressions."""
+    if signal not in ("metrics", "logs"):
+        raise ValueError(f"signal must be 'metrics' or 'logs', got {signal!r}")
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    decode = decode_metrics_request if signal == "metrics" else decode_logs_request
+    schema = METRIC_ROW_SCHEMA if signal == "metrics" else LOG_ROW_SCHEMA
+    keys = [f.split()[0] for f in schema.split(", ")]
+    col = payload_col
+    skip = on_error == "skip"
+
+    def decode_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in keys}
+            for payload in pdf[col]:
+                if payload is None:
+                    continue
+                try:
+                    rows = decode(bytes(payload))
+                except (ValueError, IndexError, UnicodeDecodeError, struct.error):
+                    if skip:
+                        continue
+                    raise
+                for row in rows:
+                    for k in keys:
+                        out[k].append(row[k])
+            if out[keys[0]]:
+                yield pd.DataFrame(out)
+
+    return df.select(col).mapInPandas(decode_batches, schema=schema)
 
 
 # ---------------------------------------------------------------------------

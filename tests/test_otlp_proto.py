@@ -294,3 +294,93 @@ def test_streaming_proto_matches_batch(spark, tmp_path):
     want = sorted(repr(sorted(r.asDict(True).items(), key=str))
                   for r in read_otlp_proto_files(spark, str(d)).collect())
     assert got == want and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# metrics / logs signal passthrough (S8 wire-shape parity, round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_request_round_trip():
+    from otel_semconvprocessor_spark.sources.otlp_proto import (
+        decode_metrics_request,
+        encode_metrics_request,
+    )
+
+    req = encode_metrics_request(
+        [
+            {
+                "resource": {"service.name": "svc"},
+                "scope_name": "meter",
+                "metrics": [
+                    {"name": "latency", "unit": "ms", "type": "histogram", "points": 3},
+                    {"name": "requests", "unit": "1", "type": "sum", "points": 2},
+                    {"name": "temp", "type": "gauge", "points": 1},
+                ],
+            }
+        ]
+    )
+    rows = decode_metrics_request(req)
+    assert [(r["metric_name"], r["metric_type"], r["unit"], r["data_points"]) for r in rows] == [
+        ("latency", "histogram", "ms", 3),
+        ("requests", "sum", "1", 2),
+        ("temp", "gauge", "", 1),
+    ]
+    assert all(r["resource"] == {"service.name": "svc"} for r in rows)
+    assert all(r["scope_name"] == "meter" for r in rows)
+
+
+def test_logs_request_round_trip():
+    from otel_semconvprocessor_spark.sources.otlp_proto import (
+        decode_logs_request,
+        encode_logs_request,
+    )
+
+    req = encode_logs_request(
+        [
+            {
+                "resource": {"host.name": "h1"},
+                "scope_name": "logger",
+                "records": [
+                    {"severity_number": 17, "severity_text": "ERROR",
+                     "body": "boom", "attrs": {"code": 500, "retry": True}},
+                    {"severity_number": 9, "severity_text": "INFO", "body": "ok"},
+                ],
+            }
+        ]
+    )
+    rows = decode_logs_request(req)
+    assert [(r["severity_number"], r["severity_text"], r["body"], r["n_attrs"]) for r in rows] == [
+        (17, "ERROR", "boom", 2),
+        (9, "INFO", "ok", 0),
+    ]
+    assert rows[0]["resource"] == {"host.name": "h1"}
+
+
+def test_signals_spark_operator_and_truncation(spark):
+    from otel_semconvprocessor_spark.sources.otlp_proto import (
+        encode_logs_request,
+        encode_metrics_request,
+        signals_from_otlp_proto,
+    )
+
+    mreq = encode_metrics_request(
+        [{"resource": {}, "scope_name": "s",
+          "metrics": [{"name": "m1", "type": "gauge", "points": 2}]}]
+    )
+    mdf = spark.createDataFrame([(mreq,), (mreq[:-3],)], "payload binary")
+    out = signals_from_otlp_proto(mdf, "metrics", on_error="skip").collect()
+    assert len(out) == 1 and out[0]["data_points"] == 2
+    with pytest.raises(Exception):
+        signals_from_otlp_proto(mdf, "metrics", on_error="fail").collect()
+
+    lreq = encode_logs_request(
+        [{"resource": {}, "scope_name": "s",
+          "records": [{"severity_number": 13, "severity_text": "WARN", "body": "w"}]}]
+    )
+    ldf = spark.createDataFrame([(lreq,)], "payload binary")
+    lrows = signals_from_otlp_proto(ldf, "logs").collect()
+    assert lrows[0]["severity_number"] == 13 and lrows[0]["body"] == "w"
+
+    with pytest.raises(ValueError):
+        signals_from_otlp_proto(ldf, "traces")

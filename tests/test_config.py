@@ -110,3 +110,33 @@ def test_reference_config_loads_and_sorts():
     assert len(ids) == 18  # config.yaml:56-195
     prios = [r.priority for r in cfg.span_processing.rules]
     assert prios == sorted(prios)
+
+
+def test_factory_parity_default_and_enabled_configs(spark):
+    """factory_test.go:23-105 twins: the default config is disabled+
+    non-benchmark and still constructs a working (identity) processor; an
+    enabled config with no span_processing also constructs; metrics/logs
+    'processors' are the passthrough."""
+    from otel_semconvprocessor_spark.operators.exporters import passthrough
+    from otel_semconvprocessor_spark.operators.rules import apply_rules
+
+    # CreateDefaultConfig: Enabled=false, Benchmark=false
+    default_cfg = Config()
+    assert default_cfg.enabled is False and default_cfg.benchmark is False
+    default_cfg.validate()  # constructs without error (wantErr: false)
+
+    df = spark.createDataFrame(
+        [("s1", "server", {"http.method": "GET"}, {})],
+        "name string, kind string, attrs map<string,string>, resource map<string,string>",
+    )
+    # disabled processor == identity consumer (processor.go disabled gate)
+    out = apply_rules(df, default_cfg)
+    assert out.select("name").first()["name"] == "s1"
+
+    # "enabled config" with empty span_processing constructs too
+    enabled_cfg = Config(enabled=True)
+    enabled_cfg.validate()
+    assert apply_rules(df, enabled_cfg).count() == 1
+
+    # CreateMetricsProcessor / CreateLogsProcessor: the timed no-op
+    assert passthrough(df) is df

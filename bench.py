@@ -203,7 +203,10 @@ def run_pipeline_level(cores: int, rows: int, out_dir: str) -> dict:
         mappings_table,
     )
     from otel_semconvprocessor_spark.plans.pipeline import build_normalized
-    from otel_semconvprocessor_spark.operators.route import write_routed_single_pass
+    from otel_semconvprocessor_spark.operators.route import (
+        slim_for_sink,
+        write_routed_single_pass,
+    )
 
     spark = _session(cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -215,9 +218,14 @@ def run_pipeline_level(cores: int, rows: int, out_dir: str) -> dict:
         mappings_df.count()
         dim = lang_dim(spark).persist()
         dim.count()
-        normalized = build_normalized(
-            spark, pages_df, extractor="pandas", mappings_df=mappings_df, dims=[(dim, "lang")]
-        ).drop("html", "text")
+        # slim_for_sink = the production sink projection (run_pipeline uses
+        # the same): lossless per-row dedup + binary ids, 45% fewer sink
+        # bytes -> less memory-bus traffic in shuffle + encode + tmpfs write
+        normalized = slim_for_sink(
+            build_normalized(
+                spark, pages_df, extractor="pandas", mappings_df=mappings_df, dims=[(dim, "lang")]
+            ).drop("html", "text")
+        )
         normalized.schema  # force analysis once, outside the timed region
 
         def once() -> float:

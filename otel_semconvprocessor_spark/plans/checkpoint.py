@@ -286,7 +286,11 @@ def run_with_checkpoints(
             continue
         t0 = time.time()
         normalized = assign_sink(build_normalized(spark, chunk_df(chunk), cfg, extractor=extractor))
-        normalized = normalized.drop("html", "text").withColumn(
+        # same lossless sink projection as run_pipeline (binary ids, attr
+        # dedup) — resumed chunks must match fresh chunks byte-for-byte
+        from ..operators.route import slim_for_sink
+
+        normalized = slim_for_sink(normalized.drop("html", "text")).withColumn(
             "warc_day", F.to_date(F.col("warc_ts"))
         )
         # row count observed on the write plan itself — no post-write re-read

@@ -71,10 +71,13 @@ def start_streaming_pipeline(
     """File-source -> partitioned file-sink with checkpointed exactly-once;
     ``available_now`` drains the current backlog then stops (batch-like runs,
     incremental across restarts)."""
+    from ..operators.route import slim_for_sink
+
     normalized = streaming_normalized(spark, stream_pages(spark, input_dir), cfg)
     routed = (
-        assign_sink(normalized)
-        .drop("html", "text")  # sinks carry normalized records, not raw bytes
+        # same sink projection as the batch path (drop raw payloads, binary
+        # ids, per-row attr dedup) so stream and batch sinks stay row-identical
+        slim_for_sink(assign_sink(normalized).drop("html", "text"))
         .withColumn("warc_day", F.to_date("warc_ts"))
     )
     writer = (

@@ -450,3 +450,55 @@ def test_checkpoint_legacy_plan_format_migrates(spark, pages_path, tmp_path):
     # and the plan is now the current one-row-per-file format
     migrated = spark.read.parquet(f"{out}/_plan")
     assert set(migrated.columns) == {"chunk", "file", "label"}
+
+
+def test_slim_for_sink_is_lossless(spark):
+    """The sink projection (round-5 bandwidth work) must be exactly
+    reversible: binary ids hex back to the originals; attr entries are
+    dropped ONLY when equal to their materialized column, so presets and
+    unusual traceparent flags survive."""
+    from otel_semconvprocessor_spark.operators.route import slim_for_sink
+
+    rows = [
+        # normal enforced row: all five redundant entries dropped
+        (1, "ab" * 16, "cd" * 8,
+         {"traceparent": "00-" + "ab" * 16 + "-" + "cd" * 8 + "-01",
+          "operation.name": "HTTP GET", "operation.type": "http",
+          "name.original": "orig", "schema.url": "1.26.0", "http.server": "nginx"},
+         "HTTP GET", "http", "orig", "1.26.0"),
+        # preset row: attrs carry values the columns DON'T — all kept
+        (2, "ef" * 16, "12" * 8,
+         {"traceparent": "00-" + "ef" * 16 + "-" + "12" * 8 + "-00",  # flags differ
+          "operation.name": "preset-op", "operation.type": "preset-type"},
+         None, None, None, "1.26.0"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, trace_id string, span_id string, attrs map<string,string>, "
+        "operation_name string, operation_type string, name_original string, schema_url string",
+    )
+    out = {r["id"]: r for r in slim_for_sink(df).collect()}
+
+    r1 = out[1]
+    assert bytes(r1["trace_id"]).hex() == "ab" * 16  # binary ids reversible
+    assert bytes(r1["span_id"]).hex() == "cd" * 8
+    assert set(r1["attrs"]) == {"http.server"}  # redundant entries gone
+    # reconstruction: coalesce(attrs[k], column) recovers the original map
+    assert r1["operation_name"] == "HTTP GET" and r1["schema_url"] == "1.26.0"
+
+    r2 = out[2]
+    assert r2["attrs"]["operation.name"] == "preset-op"  # preset survives
+    assert r2["attrs"]["operation.type"] == "preset-type"
+    assert r2["attrs"]["traceparent"].endswith("-00")  # unusual flags survive
+
+
+def test_slim_for_sink_stays_expression_only(spark):
+    """The projection must not add shuffles or Python stages."""
+    from otel_semconvprocessor_spark.operators.route import slim_for_sink
+
+    df = spark.createDataFrame(
+        [("a", "ab" * 16, "cd" * 8, {"k": "v"})],
+        "url string, trace_id string, span_id string, attrs map<string,string>",
+    )
+    plan = slim_for_sink(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

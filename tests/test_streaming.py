@@ -35,9 +35,13 @@ def test_streaming_matches_batch(spark, staged_pages, tmp_path):
     got = spark.read.parquet(f"{out}/sinks")
     assert got.count() == N
 
+    from otel_semconvprocessor_spark.operators.route import slim_for_sink
+
     batch = (
-        assign_sink(build_normalized(spark, spark.read.parquet(staged_pages)))
-        .drop("html", "text")
+        slim_for_sink(
+            assign_sink(build_normalized(spark, spark.read.parquet(staged_pages)))
+            .drop("html", "text")
+        )
         .withColumn("warc_day", F.to_date("warc_ts"))
     )
     assert set(batch.columns) == set(got.columns)

@@ -195,9 +195,13 @@ def topk_brute_force_pandas(
     """Same result via one numpy matmul per Arrow batch: queries are collected
     to the driver (small by contract) and closed over; the corpus streams
     through mapInPandas without shuffle."""
+    import numpy as _np
+
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = [r[id_col] for r in qrows]
-    q_mat = [list(map(float, r[vec_col])) for r in qrows]
+    # one C-level stack, same as the corpus side (driver-side and small by
+    # contract, but symmetric with the batch path)
+    q_mat = _np.array([r[vec_col] for r in qrows], dtype=_np.float64)
 
     # id dtypes derived from the INPUT schemas (string doc ids etc. must
     # round-trip — hardcoding 'long' mis-casts or fails in Arrow when

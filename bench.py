@@ -739,7 +739,14 @@ def main() -> None:
         # needs the window to be right (r4 restructure; the old tail-order
         # left room for only one pair at 3M rows).
         full = _spawn("pipeline", CPUS, out_dir, warms=2)
-        timings = _spawn("operators", CPUS, out_dir)
+        # SPARK_GRAFT_BENCH_SKIP_OPS=1: window-shopping mode — skip the
+        # ~5-minute operator table so the whole budget goes to scaling-pair
+        # windows (the official driver run keeps the default and records the
+        # full table)
+        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_OPS") == "1":
+            timings = {}
+        else:
+            timings = _spawn("operators", CPUS, out_dir)
         # scaling measurement: ADJACENT (L,H) spawn pairs — both levels
         # sampled within the same few-minute host window, each spawn taking
         # 1 cold + WARMS warm runs (steady state needs runs ~4-6: C2

@@ -207,6 +207,73 @@ def _q_rule_cascade_stdfuncs(spark, sf_dir):
     return n.select("doc_id", "rule_id", "operation_name", "operation_type")
 
 
+def _q_rule_cascade_timefuncs(spark, sf_dir):
+    """Round-5 registry widening, part 2: the TIME/KV/DECODE standard
+    functions — Time (ctimefmt), TruncateTime (Go time.Truncate),
+    UnixSeconds, ParseKeyValue, ToKeyValueString, Decode(base64), Hex —
+    chained through the real engine (ottl.py -> rules.py CASE chain).
+    Deterministic inputs are attached to the span attrs from doc_id (one of
+    three keys per row by doc_id%3), so the DuckDB twin re-derives the
+    expected strings independently."""
+    from otel_semconvprocessor_spark.config import (
+        Config,
+        OTTLRule,
+        SpanProcessingConfig,
+    )
+
+    w = doc_spans(spark, sf_dir)
+    did = F.col("doc_id")
+    mod = did % 3
+    ts = F.format_string(
+        "2024-03-%02d %02d:%02d:09", (did % 27) + 1, did % 24, did % 60
+    )
+    kv = F.format_string("b=%d;a=%d;a=%d", did % 7, did % 3, did % 5)
+    b64 = F.base64(F.concat(F.lit("doc-"), did.cast("string")).cast("binary"))
+    extra = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("req.ts").alias("key"), F.when(mod == 0, ts).alias("value")),
+                F.struct(F.lit("hdr.kv").alias("key"), F.when(mod == 1, kv).alias("value")),
+                F.struct(F.lit("payload.b64").alias("key"), F.when(mod == 2, b64).alias("value")),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    w = w.withColumn("attrs", F.map_concat("attrs", extra))
+
+    rules = [
+        OTTLRule(
+            id="ts_hour", priority=10,
+            condition='attributes["req.ts"] != nil',
+            operation_name='String(UnixSeconds(TruncateTime('
+                           'Time(attributes["req.ts"], "%Y-%m-%d %H:%M:%S"), Duration("1h"))))',
+            operation_type='"ts_hour"',
+        ),
+        OTTLRule(
+            id="kv_headers", priority=20,
+            condition='ParseKeyValue(attributes["hdr.kv"], "=", ";") != nil',
+            operation_name='ToKeyValueString('
+                           'ParseKeyValue(attributes["hdr.kv"], "=", ";"), ":", ",", true)',
+            operation_type='"kv"',
+        ),
+        OTTLRule(
+            id="b64_payload", priority=30,
+            condition='Decode(attributes["payload.b64"], "base64") != nil',
+            operation_name='Hex(Decode(attributes["payload.b64"], "base64"))',
+            operation_type='"b64"',
+        ),
+    ]
+    cfg = Config(
+        enabled=True,
+        span_processing=SpanProcessingConfig(
+            enabled=True, mode="enforce", preserve_original_name=True, rules=rules
+        ),
+    )
+    cfg.validate()
+    n = apply_rules(w, cfg)
+    return n.select("doc_id", "rule_id", "operation_name", "operation_type")
+
+
 def _q_rule_effectiveness(spark, sf_dir):
     """M2: span_names_enforced by (rule_id, operation_type, mode)."""
     n = _normalized(spark, sf_dir)
@@ -1082,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_broadcast": _q_rule_cascade_broadcast,
         "rule_cascade_ismatch": _q_rule_cascade_ismatch,
         "rule_cascade_stdfuncs": _q_rule_cascade_stdfuncs,
+        "rule_cascade_timefuncs": _q_rule_cascade_timefuncs,
         "rule_effectiveness": _q_rule_effectiveness,
         "sink_route_counts": _q_sink_route_counts,
         "cardinality_metrics": _q_cardinality_metrics,
@@ -1587,6 +1655,32 @@ SELECT doc_id, rule_id,
     WHEN 'rpc_snake' THEN {_snake_sql('rpc_method')}
     WHEN 'sql_compact' THEN 'compacted'
     WHEN 'dur_str' THEN 'duration'
+  END AS operation_type
+FROM matched""",
+        "rule_cascade_timefuncs": f"""WITH {_SPANS},
+aug AS (SELECT *,
+  CASE WHEN doc_id % 3 = 0 THEN '2024-03-' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0')
+       || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+       || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':09' END AS req_ts,
+  CASE WHEN doc_id % 3 = 2 THEN 'doc-' || doc_id END AS payload
+FROM ev),
+matched AS (SELECT *, CASE
+  WHEN preset_opname IS NOT NULL THEN NULL
+  WHEN req_ts IS NOT NULL THEN 'ts_hour'
+  WHEN doc_id % 3 = 1 THEN 'kv_headers'
+  WHEN payload IS NOT NULL THEN 'b64_payload'
+  END AS rule_id FROM aug)
+SELECT doc_id, rule_id,
+  CASE rule_id
+    WHEN 'ts_hour' THEN CAST(CAST(epoch(date_trunc('hour',
+         strptime(req_ts, '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS VARCHAR)
+    WHEN 'kv_headers' THEN 'a:' || (doc_id % 5) || ',b:' || (doc_id % 7)
+    WHEN 'b64_payload' THEN lower(hex(payload))
+  END AS operation_name,
+  CASE rule_id
+    WHEN 'ts_hour' THEN 'ts_hour'
+    WHEN 'kv_headers' THEN 'kv'
+    WHEN 'b64_payload' THEN 'b64'
   END AS operation_type
 FROM matched""",
         "rule_effectiveness": f"""WITH {cascade}

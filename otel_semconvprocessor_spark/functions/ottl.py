@@ -27,7 +27,9 @@ standard registry, ottl_functions.go:19): IsMatch, Substring, Len,
 ConvertCase (lower/upper/snake/camel), Format, ExtractPatterns, MD5, SHA1,
 SHA256, Split, Trim, ReplacePattern, ReplaceAllPatterns, Int, Double, String,
 Duration, Hours/Minutes/Seconds/Milliseconds/Microseconds/Nanoseconds,
-ParseJSON — see ``SUPPORTED_FUNCTIONS`` and the README conformance table.
+ParseJSON, Time, TruncateTime, UnixSeconds/UnixMilli/UnixMicro/UnixNano,
+ParseKeyValue, ToKeyValueString, Decode, Keys, Values, Hex, Log — see
+``SUPPORTED_FUNCTIONS`` and the README conformance table.
 ``Concat(list, sep)`` requires its separator to be a string literal, as in
 every shipped rule.
 
@@ -55,13 +57,19 @@ from .scalars import (
     remove_query_params,
 )
 from .stdfuncs import (
+    ctime_to_java,
     duration_ns,
+    ottl_decode,
     ottl_split,
+    ottl_time,
     ottl_trim,
     parse_json_flat,
+    parse_key_value,
     replace_pattern,
     to_camel_case,
+    to_key_value_string,
     to_snake_case,
+    truncate_time,
 )
 
 __all__ = [
@@ -113,6 +121,9 @@ SUPPORTED_FUNCTIONS = frozenset(
         "IsMatch", "Substring", "Len", "ConvertCase", "Format", "ExtractPatterns",
         "MD5", "SHA256", "SHA1", "Split", "Trim", "ReplacePattern",
         "ReplaceAllPatterns", "Int", "Double", "String", "Duration", "ParseJSON",
+        "Time", "TruncateTime", "UnixSeconds", "UnixMilli", "UnixMicro",
+        "UnixNano", "ParseKeyValue", "ToKeyValueString", "Decode", "Keys",
+        "Values", "Hex", "Log",
         *_DURATION_CONVERTERS,
     ]
 )
@@ -523,6 +534,85 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         return (comp(_unary(node)) / F.lit(divisor)).cast(out_type)
     if node.func == "SHA1":
         return F.sha1(comp(_unary(node)).cast("binary"))
+    if node.func == "Time":
+        # ottlfuncs.Time(target, format): ctimefmt %-directive grammar ->
+        # Java DateTimeFormatter pattern, translated ONCE at compile time;
+        # unparseable input -> NULL via try_to_timestamp (error-as-null).
+        if len(node.args) != 2 or not isinstance(node.args[1], _Str):
+            raise OTTLSyntaxError("Time takes (target, string-literal format)")
+        try:
+            ctime_to_java(node.args[1].value)  # reject bad directives at compile
+        except ValueError as exc:
+            raise OTTLSyntaxError(str(exc)) from exc
+        return ottl_time(comp(node.args[0]), node.args[1].value)
+    if node.func == "TruncateTime":
+        # ottlfuncs.TruncateTime(time, duration) = Go time.Truncate; the
+        # duration arg is an expression (typically Duration("1h")) compiled
+        # to total nanoseconds
+        if len(node.args) != 2:
+            raise OTTLSyntaxError("TruncateTime takes (time, duration)")
+        return truncate_time(comp(node.args[0]), comp(node.args[1]))
+    if node.func == "UnixSeconds":
+        return F.unix_seconds(comp(_unary(node)))
+    if node.func == "UnixMilli":
+        return F.unix_millis(comp(_unary(node)))
+    if node.func == "UnixMicro":
+        return F.unix_micros(comp(_unary(node)))
+    if node.func == "UnixNano":
+        # Spark timestamps are µs precision; the ns value is exact µs*1000
+        return (F.unix_micros(comp(_unary(node))) * F.lit(1000)).cast("long")
+    if node.func == "ParseKeyValue":
+        # ottlfuncs.ParseKeyValue(target[, delimiter[, pairDelimiter]]):
+        # literal delimiters, compile-validated (upstream errors on empty)
+        if len(node.args) not in (1, 2, 3) or any(
+            not isinstance(a, _Str) for a in node.args[1:]
+        ):
+            raise OTTLSyntaxError(
+                "ParseKeyValue takes (target[, string-literal delimiter"
+                "[, string-literal pairDelimiter]])"
+            )
+        delim = node.args[1].value if len(node.args) > 1 else "="
+        pair_delim = node.args[2].value if len(node.args) > 2 else " "
+        if not delim or not pair_delim:
+            raise OTTLSyntaxError("ParseKeyValue delimiters must be non-empty")
+        if delim == pair_delim:
+            raise OTTLSyntaxError(
+                "ParseKeyValue delimiter and pairDelimiter must differ"
+            )
+        return parse_key_value(comp(node.args[0]), delim, pair_delim)
+    if node.func == "ToKeyValueString":
+        if (
+            len(node.args) not in (1, 2, 3, 4)
+            or any(not isinstance(a, _Str) for a in node.args[1:3])
+            or (len(node.args) == 4 and not isinstance(node.args[3], _Bool))
+        ):
+            raise OTTLSyntaxError(
+                "ToKeyValueString takes (map[, string-literal delimiter"
+                "[, string-literal pairDelimiter[, bool sortOutput]]])"
+            )
+        delim = node.args[1].value if len(node.args) > 1 else "="
+        pair_delim = node.args[2].value if len(node.args) > 2 else " "
+        sort_output = node.args[3].value if len(node.args) > 3 else False
+        return to_key_value_string(comp(node.args[0]), delim, pair_delim, sort_output)
+    if node.func == "Decode":
+        if len(node.args) != 2 or not isinstance(node.args[1], _Str):
+            raise OTTLSyntaxError("Decode takes (target, string-literal encoding)")
+        try:
+            return ottl_decode(comp(node.args[0]), node.args[1].value)
+        except ValueError as exc:
+            raise OTTLSyntaxError(str(exc)) from exc
+    if node.func == "Keys":
+        return F.map_keys(comp(_unary(node)))
+    if node.func == "Values":
+        return F.map_values(comp(_unary(node)))
+    if node.func == "Hex":
+        # func_hex encodes the value's bytes as lowercase hex; Spark's hex()
+        # is uppercase
+        return F.lower(F.hex(comp(_unary(node)).cast("binary")))
+    if node.func == "Log":
+        # func_log: natural log, errors on target <= 0 -> NULL here
+        c = comp(_unary(node)).cast("double")
+        return F.when(c > 0, F.log(c))
     if node.func == "ParseJSON":
         return parse_json_flat(comp(_unary(node)))
     if node.func == "Format":

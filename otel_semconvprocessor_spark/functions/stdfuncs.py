@@ -35,6 +35,12 @@ __all__ = [
     "replace_pattern",
     "duration_ns",
     "parse_json_flat",
+    "ctime_to_java",
+    "ottl_time",
+    "truncate_time",
+    "parse_key_value",
+    "to_key_value_string",
+    "ottl_decode",
 ]
 
 
@@ -175,3 +181,199 @@ def parse_json_flat(col: Column | str) -> Column:
     coerced to their string forms, nested values arrive as raw JSON text.
     Malformed JSON -> NULL (from_json PERMISSIVE ≙ error-as-null)."""
     return F.from_json(_as_col(col), "map<string,string>")
+
+
+# ---------------------------------------------------------------------------
+# Time family (ottlfuncs Time -> coreinternal timeutils ctimefmt, a
+# strptime-style %-directive grammar; TruncateTime -> Go time.Truncate;
+# UnixSeconds/UnixMilli/UnixMicro/UnixNano -> time.Time accessors)
+# ---------------------------------------------------------------------------
+
+# ctimefmt %-directive -> Java DateTimeFormatter pattern.  Only directives
+# with an exact Java equivalent are mapped; anything else raises at COMPILE
+# time (the reference's parser errors at startup too, never per-row).
+_CTIME_TO_JAVA = {
+    "Y": "yyyy", "y": "yy",
+    "m": "MM", "b": "MMM", "h": "MMM", "B": "MMMM",
+    "d": "dd", "e": "d", "j": "DDD",
+    "a": "EEE", "A": "EEEE",
+    "H": "HH", "I": "hh", "p": "a",
+    "M": "mm", "S": "ss",
+    "L": "SSS", "f": "SSSSSS",
+    "z": "XX", "Z": "zzz",
+}
+
+# literal chars safe to leave unquoted in a Java datetime pattern
+_JAVA_PATTERN_SAFE = set(" :-/.,;")
+
+
+def ctime_to_java(fmt: str) -> str:
+    """Translate a ctimefmt/strptime format ("%Y-%m-%d %H:%M:%S") to the Java
+    DateTimeFormatter pattern Spark's to_timestamp expects.  Literal runs
+    containing letters are single-quoted (' escaped as '').  Raises
+    ``ValueError`` on a directive with no exact Java mapping (e.g. %s epoch
+    seconds) so callers can reject at compile time."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if not literal:
+            return
+        run = "".join(literal)
+        if all(ch in _JAVA_PATTERN_SAFE for ch in run):
+            out.append(run)
+        else:
+            out.append("'" + run.replace("'", "''") + "'")
+        literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"dangling %% at end of time format {fmt!r}")
+            d = fmt[i + 1]
+            if d == "%":
+                literal.append("%")
+            elif d in _CTIME_TO_JAVA:
+                flush()
+                out.append(_CTIME_TO_JAVA[d])
+            else:
+                raise ValueError(f"unsupported time directive %{d} in {fmt!r}")
+            i += 2
+        else:
+            literal.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def ottl_time(col: Column | str, fmt: str) -> Column:
+    """ottlfuncs Time(target, format): parse a string into a timestamp with a
+    ctimefmt format.  Unparseable / nil -> NULL (error-as-null).  Formats
+    without a %z/%Z zone parse in the Spark session time zone — set
+    ``spark.sql.session.timeZone=UTC`` for parity with the collector's
+    default location."""
+    return F.try_to_timestamp(_as_col(col), F.lit(ctime_to_java(fmt)))
+
+
+# Go's zero time (Jan 1, year 1 UTC) precedes the epoch by this many seconds
+# (time.unixToInternal); time.Truncate rounds down to a multiple of d since
+# the ZERO time, so epoch arithmetic needs the offset re-added first.
+_GO_ZERO_TO_EPOCH_SEC = 62135596800
+
+
+def truncate_time(ts: Column | str, dur_ns: Column) -> Column:
+    """ottlfuncs TruncateTime(time, duration) = Go time.Truncate: round the
+    timestamp down to a multiple of the duration since Go's zero time.
+    Microsecond-floor arithmetic (Spark timestamps are µs); d <= 0 or a
+    sub-microsecond remainder duration returns t unchanged, like Go's
+    ``if d <= 0 { return t }`` guard.  nil duration -> NULL."""
+    t = _as_col(ts)
+    t_us = F.unix_micros(t)
+    d_us = (dur_ns / F.lit(1000.0)).cast("long")
+    off = F.lit(_GO_ZERO_TO_EPOCH_SEC * 1_000_000)
+    truncated = F.timestamp_micros(t_us - F.pmod(t_us + off, d_us))
+    return F.when(d_us > 0, truncated).when(d_us <= 0, t)
+
+
+# ---------------------------------------------------------------------------
+# ParseKeyValue / ToKeyValueString (log-pipeline staples)
+# ---------------------------------------------------------------------------
+
+
+def parse_key_value(
+    col: Column | str, delimiter: str = "=", pair_delimiter: str = " "
+) -> Column:
+    """ottlfuncs ParseKeyValue(target[, delimiter[, pairDelimiter]]) ->
+    map<string,string>.  Pairs split on the literal pairDelimiter (empty
+    segments dropped), each pair split on the FIRST literal delimiter
+    (SplitN(2) — the value keeps any later delimiters), keys/values
+    whitespace-trimmed.  A pair with no delimiter is an upstream error ->
+    whole result NULL.  Duplicate keys keep the LAST occurrence (map
+    assignment order upstream).  Divergence (README): parseutils'
+    quote-aware splitting is not replicated — quoted values containing the
+    pair delimiter will split."""
+    c = _as_col(col)
+    pairs = F.filter(
+        ottl_split(c, pair_delimiter), lambda p: F.trim(p) != F.lit("")
+    )
+    has_delim = lambda p: F.instr(p, delimiter) > 0  # noqa: E731
+    all_valid = ~F.exists(pairs, lambda p: ~has_delim(p))
+
+    def entry(p: Column) -> Column:
+        k_raw = F.substring_index(p, delimiter, 1)
+        v_raw = p.substr(
+            F.length(k_raw) + F.lit(len(delimiter) + 1), F.length(p)
+        )
+        return F.struct(
+            F.trim(k_raw).alias("key"), F.trim(v_raw).alias("value")
+        )
+
+    entries = F.transform(pairs, entry)
+    # last-wins dedup without tripping Spark's duplicate-map-key EXCEPTION
+    # policy: reverse, keep each key's first (i.e. original last) occurrence
+    rev = F.reverse(entries)
+    deduped = F.filter(
+        rev,
+        lambda e, i: ~F.exists(
+            F.slice(rev, F.lit(1), i), lambda prior: prior["key"] == e["key"]
+        ),
+    )
+    return F.when(
+        c.isNotNull() & (F.size(pairs) > 0) & all_valid,
+        # reverse back: map entry order = original pair order (duplicates
+        # collapsed onto their LAST occurrence's position-from-the-end)
+        F.map_from_entries(F.reverse(deduped)),
+    )
+
+
+def to_key_value_string(
+    m: Column | str,
+    delimiter: str = "=",
+    pair_delimiter: str = " ",
+    sort_output: bool = False,
+) -> Column:
+    """ottlfuncs ToKeyValueString(map[, delimiter[, pairDelimiter[,
+    sortOutput]]]): render a map back to "k<delim>v<pairDelim>k2<delim>v2".
+    NULL values render as empty strings; sortOutput orders pairs by the
+    rendered string (byte order, = upstream's sorted key iteration for
+    distinct keys).  nil map -> NULL.  Divergence (README): upstream
+    quote-escapes values containing the delimiters; this renders verbatim."""
+    mc = _as_col(m)
+    strs = F.transform(
+        F.map_entries(mc),
+        lambda e: F.concat(
+            e["key"], F.lit(delimiter), F.coalesce(e["value"], F.lit(""))
+        ),
+    )
+    if sort_output:
+        strs = F.array_sort(strs)
+    return F.array_join(strs, pair_delimiter)
+
+
+# ---------------------------------------------------------------------------
+# Decode (base64 and pass-through charsets)
+# ---------------------------------------------------------------------------
+
+_B64_RE = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{4})?$"
+
+
+def ottl_decode(col: Column | str, encoding: str) -> Column:
+    """ottlfuncs Decode(target, encoding) for the encodings a string-typed
+    attr model can express: "base64"/"base64-raw" decode to the UTF-8 string
+    of the payload bytes; "us-ascii"/"utf-8"/"utf8" are identity on strings.
+    Malformed base64 -> NULL (upstream error).  The validity pre-check keeps
+    the expression ANSI-safe (no executor-side decode exception)."""
+    c = _as_col(col)
+    enc = encoding.lower()
+    if enc in ("us-ascii", "utf-8", "utf8"):
+        return c.cast("string")
+    if enc in ("base64", "base64-raw"):
+        padded = c if enc == "base64" else F.concat(
+            c, F.repeat(F.lit("="), F.pmod(F.lit(4) - F.pmod(F.length(c), 4), 4))
+        )
+        return F.when(
+            padded.rlike(_B64_RE), F.unbase64(padded).cast("string")
+        )
+    raise ValueError(f"unsupported Decode encoding {encoding!r}")

@@ -146,17 +146,32 @@ def apply_semconv_mappings(
     copies = F.coalesce(F.col("copies"), F.create_map().cast("map<string,string>"))
     deletes = F.coalesce(F.col("deletes"), F.array().cast("array<string>"))
 
-    # 1. delete
-    step1 = F.map_filter(attrs, lambda k, _: ~F.array_contains(deletes, k))
-    # 2. rename/move: drop old key when the target already exists (the newer
-    #    convention's value is authoritative), otherwise re-key it.
+    # delete + rename/move FUSED into one entries pass (round 5): the naive
+    # form — map_filter(delete) -> map_filter(rename-conflict) -> rebuild —
+    # copies every key+value string into a fresh map THREE times per row,
+    # and the attrs map is the widest thing in the plan.  Measured
+    # (scripts/ab_mapping_fusion.py, 4M rows x 10-key maps, local[32],
+    # min-of-4-warms): three-pass 4.07s vs fused 3.11s = 1.31x, with an
+    # output-identity assert in the same run.
+    # Semantics are unchanged (oracle row `semconv_mapping_rows` pins them):
+    #   * delete: drop entries whose key is in `deletes`
+    #   * rename/move: drop the OLD key when the rename target already
+    #     exists post-delete (the newer convention's value is
+    #     authoritative), otherwise re-key the entry
     target = lambda k: F.try_element_at(renames, k)  # noqa: E731
-    step2 = F.map_filter(
-        step1, lambda k, _: target(k).isNull() | F.try_element_at(step1, target(k)).isNull()
+    # "target occupied" is probed against the ORIGINAL map minus deletes —
+    # identical to probing the post-delete map, without building it
+    occupied = lambda k: F.try_element_at(attrs, k).isNotNull() & ~F.array_contains(
+        deletes, k
+    )  # noqa: E731
+    kept = F.filter(
+        F.map_entries(attrs),
+        lambda e: ~F.array_contains(deletes, e["key"])
+        & (target(e["key"]).isNull() | ~occupied(target(e["key"]))),
     )
     step3 = F.map_from_entries(
         F.transform(
-            F.map_entries(step2),
+            kept,
             lambda e: F.struct(
                 F.coalesce(target(e["key"]), e["key"]).alias("key"),
                 e["value"].alias("value"),

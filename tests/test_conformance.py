@@ -116,6 +116,8 @@ def test_unsupported_constructs_each_cleanly_reject(spark):
         "editor_statement_syntax", "unknown_function", "kebab_case",
         "format_float_verb", "dynamic_pattern", "bad_regex",
         "split_wrong_arity", "replace_all_on_scalar",
+        "time_epoch_directive", "decode_unknown_encoding",
+        "parse_key_value_same_delims",
     }
     for rules in by_rule.values():
         for r in rules:

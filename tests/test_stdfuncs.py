@@ -255,7 +255,214 @@ def test_supported_functions_all_dispatch():
         "Milliseconds": "Milliseconds(Duration(name))",
         "Microseconds": "Microseconds(Duration(name))",
         "Nanoseconds": "Nanoseconds(Duration(name))",
+        "Time": 'Time(name, "%Y-%m-%d")',
+        "TruncateTime": 'TruncateTime(Time(name, "%Y-%m-%d"), Duration("1h"))',
+        "UnixSeconds": 'UnixSeconds(Time(name, "%Y-%m-%d"))',
+        "UnixMilli": 'UnixMilli(Time(name, "%Y-%m-%d"))',
+        "UnixMicro": 'UnixMicro(Time(name, "%Y-%m-%d"))',
+        "UnixNano": 'UnixNano(Time(name, "%Y-%m-%d"))',
+        "ParseKeyValue": "ParseKeyValue(name)",
+        "ToKeyValueString": "ToKeyValueString(ParseKeyValue(name))",
+        "Decode": 'Decode(name, "base64")',
+        "Keys": "Keys(ParseJSON(name))",
+        "Values": "Values(ParseJSON(name))",
+        "Hex": "Hex(name)",
+        "Log": "Log(Double(name))",
     }
     assert set(invocations) == set(SUPPORTED_FUNCTIONS)
     for expr in invocations.values():
         compile_ottl(expr)  # must not raise
+
+
+# ---- Time family (round-5 additions) --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tframe(spark):
+    rows = [
+        (1, "2024-03-05 07:08:09", "kv"),
+        (2, "2024-12-31T23:59:58", "kv"),
+        (3, "not a time", "kv"),
+        (4, None, "kv"),
+    ]
+    return spark.createDataFrame(rows, "id long, ts string, other string").cache()
+
+
+def _tcol(frame, expr):
+    return {r["id"]: r["v"] for r in frame.select("id", compile_ottl(expr, name_col="ts").alias("v")).collect()}
+
+
+def test_time_parses_and_errors_as_null(tframe):
+    got = _tcol(tframe, 'Time(name, "%Y-%m-%d %H:%M:%S")')
+    assert str(got[1]) == "2024-03-05 07:08:09"
+    assert got[2] is None  # literal T does not match the space
+    assert got[3] is None and got[4] is None
+
+
+def test_time_literal_letter_run_is_quoted(tframe):
+    # the 'T' separator is a letter literal -> must be quoted in the Java
+    # pattern or DateTimeFormatter would treat it as a directive
+    got = _tcol(tframe, 'Time(name, "%Y-%m-%dT%H:%M:%S")')
+    assert str(got[2]) == "2024-12-31 23:59:58"
+    assert got[1] is None
+
+
+def test_time_with_zone_directive_is_absolute(spark):
+    df = spark.createDataFrame([("2024-03-05 12:00:00 +0230",)], "ts string")
+    got = df.select(
+        compile_ottl('UnixSeconds(Time(name, "%Y-%m-%d %H:%M:%S %z"))', name_col="ts").alias("v")
+    ).collect()[0]["v"]
+    import calendar
+
+    utc = calendar.timegm((2024, 3, 5, 9, 30, 0))
+    assert got == utc
+
+
+def test_time_rejects_unmapped_directive():
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Time(name, "%s")')  # epoch-seconds directive: no Java twin
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Time(name, "%Y-%m-%d %")')  # dangling %
+
+
+def test_unix_converters(tframe):
+    s = _tcol(tframe, 'UnixSeconds(Time(name, "%Y-%m-%d %H:%M:%S"))')
+    ms = _tcol(tframe, 'UnixMilli(Time(name, "%Y-%m-%d %H:%M:%S"))')
+    us = _tcol(tframe, 'UnixMicro(Time(name, "%Y-%m-%d %H:%M:%S"))')
+    ns = _tcol(tframe, 'UnixNano(Time(name, "%Y-%m-%d %H:%M:%S"))')
+    assert ms[1] == s[1] * 1000 and us[1] == s[1] * 1_000_000 and ns[1] == s[1] * 10**9
+    assert s[3] is None and ns[4] is None
+
+
+def test_truncate_time_go_zero_time_base(tframe):
+    # 1h divides the zero-time->epoch offset evenly: plain hour floor
+    got = _tcol(tframe, 'TruncateTime(Time(name, "%Y-%m-%d %H:%M:%S"), Duration("1h"))')
+    assert str(got[1]) == "2024-03-05 07:00:00"
+    # 7h does NOT divide the offset: Go time.Truncate floors to multiples of
+    # 7h since year 1, not since the epoch — mirror Go's arithmetic exactly
+    import calendar
+
+    t = calendar.timegm((2024, 3, 5, 7, 8, 9))
+    go_zero_off = 62135596800
+    d = 7 * 3600
+    expected = t - ((t + go_zero_off) % d)
+    got7 = _tcol(
+        tframe, 'UnixSeconds(TruncateTime(Time(name, "%Y-%m-%d %H:%M:%S"), Duration("7h")))'
+    )
+    assert got7[1] == expected
+
+
+def test_truncate_time_nonpositive_duration_is_identity(tframe):
+    got = _tcol(tframe, 'TruncateTime(Time(name, "%Y-%m-%d %H:%M:%S"), Duration("0"))')
+    assert str(got[1]) == "2024-03-05 07:08:09"
+
+
+# ---- ParseKeyValue / ToKeyValueString -------------------------------------
+
+
+def test_parse_key_value_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "k1=v1 k2=v2"), (2, "k1=v1   k2=v2 "), (3, "a=b=c"), (4, "k1=v1 oops"), (5, None)],
+        "id long, s string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", compile_ottl("ParseKeyValue(name)", name_col="s").alias("v")).collect()
+    }
+    assert got[1] == {"k1": "v1", "k2": "v2"}
+    assert got[2] == {"k1": "v1", "k2": "v2"}  # empty segments dropped
+    assert got[3] == {"a": "b=c"}  # SplitN(2): value keeps later delimiters
+    assert got[4] is None  # pair without delimiter = upstream error
+    assert got[5] is None
+
+
+def test_parse_key_value_custom_delims_and_last_wins(spark):
+    df = spark.createDataFrame([("a:1,b:2,a:3",)], "s string")
+    got = df.select(
+        compile_ottl('ParseKeyValue(name, ":", ",")', name_col="s").alias("v")
+    ).collect()[0]["v"]
+    assert got == {"a": "3", "b": "2"}  # duplicate key: LAST occurrence wins
+
+
+def test_parse_key_value_rejects_bad_delims():
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ParseKeyValue(name, "")')
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ParseKeyValue(name, ",", ",")')
+
+
+def test_to_key_value_string_round_trip(spark):
+    df = spark.createDataFrame([("b=2 a=1",)], "s string")
+    got = df.select(
+        compile_ottl(
+            'ToKeyValueString(ParseKeyValue(name), "=", " ", true)', name_col="s"
+        ).alias("v")
+    ).collect()[0]["v"]
+    assert got == "a=1 b=2"  # sortOutput orders pairs
+
+
+def test_to_key_value_string_defaults_preserve_order(spark):
+    df = spark.createDataFrame([("z=9 a=1",)], "s string")
+    got = df.select(
+        compile_ottl("ToKeyValueString(ParseKeyValue(name))", name_col="s").alias("v")
+    ).collect()[0]["v"]
+    assert got == "z=9 a=1"
+
+
+# ---- Decode / Keys / Values / Hex / Log -----------------------------------
+
+
+def test_decode_base64(spark):
+    df = spark.createDataFrame(
+        [(1, "aGVsbG8="), (2, "aGVsbG8"), (3, "!!notb64!!"), (4, None)], "id long, s string"
+    )
+    b64 = {
+        r["id"]: r["v"]
+        for r in df.select("id", compile_ottl('Decode(name, "base64")', name_col="s").alias("v")).collect()
+    }
+    raw = {
+        r["id"]: r["v"]
+        for r in df.select("id", compile_ottl('Decode(name, "base64-raw")', name_col="s").alias("v")).collect()
+    }
+    assert b64[1] == "hello" and b64[3] is None and b64[4] is None
+    assert raw[2] == "hello"  # raw variant re-pads before decoding
+    assert b64[2] is None  # standard base64 requires padding
+
+
+def test_decode_rejects_unknown_encoding():
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Decode(name, "rot13")')
+
+
+def test_keys_values(frame):
+    got = _col(frame, "Keys(ParseJSON(attributes[\"json\"]))")
+    assert sorted(got[3]) == ["a", "b", "c"]
+    vals = _col(frame, "Values(ParseJSON(attributes[\"json\"]))")
+    assert set(vals[3]) == {"1", "t", '{"d":2}'}
+
+
+def test_hex_lowercase(frame):
+    got = _col(frame, "Hex(name)")
+    assert got[1] == "simpleString".encode().hex()  # lowercase, Go parity
+
+
+def test_log_error_as_null(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "42"), (2, "-1"), (3, "0"), (4, "x")], "id long, s string")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", compile_ottl("Log(Double(name))", name_col="s").alias("v")
+        ).collect()
+    }
+    assert abs(got[1] - math.log(42)) < 1e-12
+    assert got[2] is None and got[3] is None and got[4] is None
+
+
+def test_parse_key_value_trims_around_inner_delimiter(spark):
+    df = spark.createDataFrame([("a = 1, b = 2",)], "s string")
+    got = df.select(
+        compile_ottl('ParseKeyValue(name, "=", ",")', name_col="s").alias("v")
+    ).collect()[0]["v"]
+    assert got == {"a": "1", "b": "2"}

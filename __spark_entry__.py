@@ -274,6 +274,76 @@ def _q_rule_cascade_timefuncs(spark, sf_dir):
     return n.select("doc_id", "rule_id", "operation_name", "operation_type")
 
 
+def _q_rule_cascade_urlglob(spark, sf_dir):
+    """Round-5 registry widening, part 3: URL (semconv url.* map via JVM
+    parse_url), ParseCSV, ReplaceMatch (path.Match glob -> anchored regex at
+    compile), Sort, and converter-result indexing (``URL(x)["url.domain"]``,
+    ``Sort(...)[1]``) chained through the real engine.  Inputs derive
+    deterministically from doc_id (one of three attr keys per row by
+    doc_id%3) so the DuckDB twin re-derives every component with plain
+    string arithmetic — no URL parser on the oracle side."""
+    from otel_semconvprocessor_spark.config import (
+        Config,
+        OTTLRule,
+        SpanProcessingConfig,
+    )
+
+    w = doc_spans(spark, sf_dir)
+    did = F.col("doc_id")
+    mod = did % 3
+    url = F.format_string(
+        "https://svc-%d.example.com:8443/api/v2/item%d.%s?q=%d",
+        did % 5, did % 100,
+        F.when(did % 2 == 0, F.lit("json")).otherwise(F.lit("xml")),
+        did % 7,
+    )
+    csv = F.format_string("GET,/p/%d,%d", did % 100, (did % 5) + 200)
+    rawop = F.when(
+        did % 2 == 0, F.format_string("GET /static/img%d", did % 50)
+    ).otherwise(F.format_string("GET /api/%d/detail", did % 50))
+    extra = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("req.url").alias("key"), F.when(mod == 0, url).alias("value")),
+                F.struct(F.lit("csv.line").alias("key"), F.when(mod == 1, csv).alias("value")),
+                F.struct(F.lit("raw.op").alias("key"), F.when(mod == 2, rawop).alias("value")),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    w = w.withColumn("attrs", F.map_concat("attrs", extra))
+
+    rules = [
+        OTTLRule(
+            id="url_parse", priority=10,
+            condition='URL(attributes["req.url"])["url.domain"] != nil',
+            operation_name='URL(attributes["req.url"])["url.domain"]',
+            operation_type='URL(attributes["req.url"])["url.extension"]',
+        ),
+        OTTLRule(
+            id="csv_route", priority=20,
+            condition='ParseCSV(attributes["csv.line"], "method,path,status") != nil',
+            operation_name='ParseCSV(attributes["csv.line"], "method,path,status")["path"]',
+            operation_type='ParseCSV(attributes["csv.line"], "method,path,status")["status"]',
+        ),
+        OTTLRule(
+            id="glob_rule", priority=30,
+            condition='attributes["raw.op"] != nil',
+            operation_name='ReplaceMatch(attributes["raw.op"], "GET /static/*", "{static}")',
+            operation_type='Sort(Split(attributes["raw.op"], " "), "desc")[1]',
+        ),
+    ]
+    cfg = Config(
+        enabled=True,
+        span_processing=SpanProcessingConfig(
+            enabled=True, mode="enforce", preserve_original_name=True, rules=rules
+        ),
+    )
+    cfg.validate()
+    n = apply_rules(w, cfg)
+    return n.select("doc_id", "rule_id", "operation_name", "operation_type")
+
+
 def _q_rule_effectiveness(spark, sf_dir):
     """M2: span_names_enforced by (rule_id, operation_type, mode)."""
     n = _normalized(spark, sf_dir)
@@ -1150,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_ismatch": _q_rule_cascade_ismatch,
         "rule_cascade_stdfuncs": _q_rule_cascade_stdfuncs,
         "rule_cascade_timefuncs": _q_rule_cascade_timefuncs,
+        "rule_cascade_urlglob": _q_rule_cascade_urlglob,
         "rule_effectiveness": _q_rule_effectiveness,
         "sink_route_counts": _q_sink_route_counts,
         "cardinality_metrics": _q_cardinality_metrics,
@@ -1681,6 +1752,33 @@ SELECT doc_id, rule_id,
     WHEN 'ts_hour' THEN 'ts_hour'
     WHEN 'kv_headers' THEN 'kv'
     WHEN 'b64_payload' THEN 'b64'
+  END AS operation_type
+FROM matched""",
+        "rule_cascade_urlglob": f"""WITH {_SPANS},
+aug AS (SELECT *,
+  CASE WHEN doc_id % 3 = 0 THEN 'svc-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' END AS u_domain,
+  CASE WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'json' ELSE 'xml' END END AS u_ext,
+  CASE WHEN doc_id % 3 = 1 THEN '/p/' || CAST(doc_id % 100 AS VARCHAR) END AS c_path,
+  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 5) + 200 AS VARCHAR) END AS c_status,
+  CASE WHEN doc_id % 3 = 2 THEN
+    CASE WHEN doc_id % 2 = 0 THEN 'GET /static/img' || CAST(doc_id % 50 AS VARCHAR)
+         ELSE 'GET /api/' || CAST(doc_id % 50 AS VARCHAR) || '/detail' END END AS rawop
+FROM ev),
+matched AS (SELECT *, CASE
+  WHEN preset_opname IS NOT NULL THEN NULL
+  WHEN doc_id % 3 = 0 THEN 'url_parse'
+  WHEN doc_id % 3 = 1 THEN 'csv_route'
+  ELSE 'glob_rule' END AS rule_id FROM aug)
+SELECT doc_id, rule_id,
+  CASE rule_id
+    WHEN 'url_parse' THEN u_domain
+    WHEN 'csv_route' THEN c_path
+    WHEN 'glob_rule' THEN CASE WHEN doc_id % 2 = 0 THEN '{{static}}' ELSE rawop END
+  END AS operation_name,
+  CASE rule_id
+    WHEN 'url_parse' THEN u_ext
+    WHEN 'csv_route' THEN c_status
+    WHEN 'glob_rule' THEN split_part(rawop, ' ', 2)
   END AS operation_type
 FROM matched""",
         "rule_effectiveness": f"""WITH {cascade}

@@ -28,8 +28,11 @@ ConvertCase (lower/upper/snake/camel), Format, ExtractPatterns, MD5, SHA1,
 SHA256, Split, Trim, ReplacePattern, ReplaceAllPatterns, Int, Double, String,
 Duration, Hours/Minutes/Seconds/Milliseconds/Microseconds/Nanoseconds,
 ParseJSON, Time, TruncateTime, UnixSeconds/UnixMilli/UnixMicro/UnixNano,
-ParseKeyValue, ToKeyValueString, Decode, Keys, Values, Hex, Log — see
-``SUPPORTED_FUNCTIONS`` and the README conformance table.
+ParseKeyValue, ToKeyValueString, Decode, Keys, Values, Hex, Log,
+IsString/IsInt/IsDouble/IsBool/IsMap/IsList, SHA512, Sort,
+Year/Month/Day/Hour/Minute/Second, ParseCSV, URL, ReplaceMatch,
+ReplaceAllMatches, TruncateAll — see ``SUPPORTED_FUNCTIONS`` and the README
+conformance table.
 ``Concat(list, sep)`` requires its separator to be a string literal, as in
 every shipped rule.
 
@@ -59,10 +62,12 @@ from .scalars import (
 from .stdfuncs import (
     ctime_to_java,
     duration_ns,
+    glob_to_regex,
     ottl_decode,
     ottl_split,
     ottl_time,
     ottl_trim,
+    parse_csv,
     parse_json_flat,
     parse_key_value,
     replace_pattern,
@@ -70,6 +75,8 @@ from .stdfuncs import (
     to_key_value_string,
     to_snake_case,
     truncate_time,
+    typeof_is,
+    url_to_map,
 )
 
 __all__ = [
@@ -124,9 +131,34 @@ SUPPORTED_FUNCTIONS = frozenset(
         "Time", "TruncateTime", "UnixSeconds", "UnixMilli", "UnixMicro",
         "UnixNano", "ParseKeyValue", "ToKeyValueString", "Decode", "Keys",
         "Values", "Hex", "Log",
+        "IsString", "IsInt", "IsDouble", "IsBool", "IsMap", "IsList",
+        "SHA512", "Sort", "Year", "Month", "Day", "Hour", "Minute", "Second",
+        "ParseCSV", "URL", "ReplaceMatch", "ReplaceAllMatches", "TruncateAll",
         *_DURATION_CONVERTERS,
     ]
 )
+
+# ottlfuncs Is<Type> -> the compiled expression's Catalyst type(s); prefix
+# entries match typeof()'s parameterized renderings (map<...>, array<...>)
+_TYPE_PREDICATES = {
+    "IsString": (("string",), False),
+    "IsInt": (("bigint", "int", "smallint", "tinyint"), False),
+    "IsDouble": (("double", "float"), False),
+    "IsBool": (("boolean",), False),
+    "IsMap": (("map<",), True),
+    "IsList": (("array<",), True),
+}
+
+# ottlfuncs calendar accessors (Year/Month/Day/... on a time value) -> the
+# matching JVM datetime extractor; all return int64 upstream
+_CALENDAR_ACCESSORS = {
+    "Year": F.year,
+    "Month": F.month,
+    "Day": F.dayofmonth,
+    "Hour": F.hour,
+    "Minute": F.minute,
+    "Second": F.second,
+}
 
 
 def _validate_regex(pattern: str) -> None:
@@ -212,6 +244,15 @@ class _List:
 class _Call:
     func: str
     args: list
+
+
+@dataclass
+class _Index:
+    """Postfix subscript on a converter result: string key (map) or
+    non-negative 0-based int (list)."""
+
+    base: object
+    key: object  # str | int
 
 
 @dataclass
@@ -323,8 +364,26 @@ class _Parser:
                     self.next()
                     args.append(self.or_expr())
             self.expect(")")
-            return _Call(tok, args)
+            return self._postfix_index(_Call(tok, args))
         raise OTTLSyntaxError(f"unexpected token {tok!r} in {self.src!r}")
+
+    def _postfix_index(self, node):
+        """OTTL converter-result indexing: ``Split(x, ",")[0]``,
+        ``URL(x)["url.domain"]`` — string keys index maps, non-negative ints
+        index lists (0-based upstream)."""
+        while self.peek() == "[":
+            self.next()
+            key = self.next()
+            if key.startswith('"'):
+                node = _Index(node, _unescape(key))
+            elif re.fullmatch(r"\d+", key or ""):
+                node = _Index(node, int(key))
+            else:
+                raise OTTLSyntaxError(
+                    f"index must be a string literal or non-negative int, got {key!r}"
+                )
+            self.expect("]")
+        return node
 
 
 def _unescape(quoted: str) -> str:
@@ -360,6 +419,13 @@ def _compile_node(node, attrs_col: Column, name_col: Column, resource_col: Colum
         return name_col
     if isinstance(node, _Int):
         return F.lit(node.value)
+    if isinstance(node, _Index):
+        base = _compile_node(node.base, attrs_col, name_col, resource_col)
+        if isinstance(node.key, str):
+            return F.try_element_at(base, F.lit(node.key))
+        # OTTL list indexing is 0-based; try_element_at is 1-based.
+        # Out-of-range -> NULL (upstream errors -> error-as-null model)
+        return F.try_element_at(base, F.lit(node.key + 1))
     if isinstance(node, _Cmp):
         right_nil = isinstance(node.right, _Nil)
         left_nil = isinstance(node.left, _Nil)
@@ -694,6 +760,111 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         if not isinstance(lst, _List) or not isinstance(sep, _Str):
             raise OTTLSyntaxError("Concat takes (list literal, string-literal separator)")
         return ottl_concat([comp(i) for i in lst.items], sep.value)
+    if node.func in _TYPE_PREDICATES:
+        types, prefix = _TYPE_PREDICATES[node.func]
+        return typeof_is(comp(_unary(node)), types, prefix=prefix)
+    if node.func == "SHA512":
+        return F.sha2(comp(_unary(node)).cast("binary"), 512)
+    if node.func in _CALENDAR_ACCESSORS:
+        return _CALENDAR_ACCESSORS[node.func](comp(_unary(node))).cast("long")
+    if node.func == "Sort":
+        # ottlfuncs.Sort(target[, order]): ascending by default; "desc"
+        # reverses.  Operates on the array converters produce (Split, Keys,
+        # Values); nil -> NULL
+        if (
+            len(node.args) not in (1, 2)
+            or (len(node.args) == 2 and not isinstance(node.args[1], _Str))
+        ):
+            raise OTTLSyntaxError('Sort takes (target[, "asc"|"desc"])')
+        order = node.args[1].value if len(node.args) == 2 else "asc"
+        if order not in ("asc", "desc"):
+            raise OTTLSyntaxError(f'Sort order must be "asc"|"desc", got {order!r}')
+        sorted_col = F.array_sort(comp(node.args[0]))
+        return F.reverse(sorted_col) if order == "desc" else sorted_col
+    if node.func == "ParseCSV":
+        # ottlfuncs.ParseCSV(target, headers[, delimiter[, headerDelimiter
+        # [, mode]]]); headers/delimiters are literals so the schema is
+        # fixed at compile time.  Field-count mismatch -> NULL (upstream
+        # errors); see stdfuncs.parse_csv for the quote-aware count check.
+        if (
+            len(node.args) not in (2, 3, 4, 5)
+            or any(not isinstance(a, _Str) for a in node.args[1:])
+        ):
+            raise OTTLSyntaxError(
+                "ParseCSV takes (target, string-literal headers[, delimiter"
+                "[, headerDelimiter[, mode]]])"
+            )
+        delim = node.args[2].value if len(node.args) > 2 else ","
+        hdr_delim = node.args[3].value if len(node.args) > 3 else delim
+        mode = node.args[4].value if len(node.args) > 4 else "strict"
+        if not delim or not hdr_delim:
+            raise OTTLSyntaxError("ParseCSV delimiters must be non-empty")
+        if mode == "lazyQuotes":
+            raise OTTLSyntaxError(
+                "ParseCSV lazyQuotes mode unsupported (strict/ignoreQuotes only)"
+            )
+        if mode not in ("strict", "ignoreQuotes"):
+            raise OTTLSyntaxError(f"ParseCSV mode must be strict|ignoreQuotes, got {mode!r}")
+        headers = node.args[1].value.split(hdr_delim)
+        if any(not h for h in headers):
+            raise OTTLSyntaxError("ParseCSV headers must be non-empty")
+        return parse_csv(comp(node.args[0]), headers, delim, mode)
+    if node.func == "URL":
+        return url_to_map(comp(_unary(node)))
+    if node.func == "ReplaceMatch":
+        # ottlfuncs.ReplaceMatch(target, glob, replacement): whole-string
+        # path.Match glob; on match the value is REPLACED, else unchanged.
+        # The glob is translated to an anchored Java regex at compile time.
+        if (
+            len(node.args) != 3
+            or not isinstance(node.args[1], _Str)
+            or not isinstance(node.args[2], _Str)
+        ):
+            raise OTTLSyntaxError(
+                "ReplaceMatch takes (target, string-literal glob, string-literal replacement)"
+            )
+        try:
+            pat = glob_to_regex(node.args[1].value)
+        except ValueError as exc:
+            raise OTTLSyntaxError(str(exc)) from exc
+        c = comp(node.args[0])
+        return F.when(c.rlike(pat), F.lit(node.args[2].value)).otherwise(c)
+    if node.func == "ReplaceAllMatches":
+        # whole-map form: rewrite every VALUE matching the glob (upstream
+        # editor semantics on an attribute map)
+        if (
+            len(node.args) != 3
+            or not isinstance(node.args[0], _MapRef)
+            or not isinstance(node.args[1], _Str)
+            or not isinstance(node.args[2], _Str)
+        ):
+            raise OTTLSyntaxError(
+                "ReplaceAllMatches takes (attributes-map, string-literal glob, "
+                "string-literal replacement)"
+            )
+        try:
+            pat = glob_to_regex(node.args[1].value)
+        except ValueError as exc:
+            raise OTTLSyntaxError(str(exc)) from exc
+        repl = node.args[2].value
+        return F.transform_values(
+            comp(node.args[0]),
+            lambda k, v: F.when(v.rlike(pat), F.lit(repl)).otherwise(v),
+        )
+    if node.func == "TruncateAll":
+        # editor truncate_all(attributes, limit) value-form: every map value
+        # truncated to limit chars; limit < 0 rejected at compile (upstream
+        # errors at startup)
+        if len(node.args) != 2 or not isinstance(node.args[1], _Int):
+            raise OTTLSyntaxError("TruncateAll takes (attributes-map, int limit)")
+        if not isinstance(node.args[0], _MapRef):
+            raise OTTLSyntaxError("TruncateAll takes an attributes-map target")
+        if node.args[1].value < 0:
+            raise OTTLSyntaxError("TruncateAll limit must be non-negative")
+        limit = node.args[1].value
+        return F.transform_values(
+            comp(node.args[0]), lambda k, v: F.substring(v, 1, limit)
+        )
     raise OTTLSyntaxError(f"unsupported OTTL function {node.func!r}")
 
 
@@ -738,6 +909,8 @@ def referenced_attr_keys(expr: str) -> set[str]:
         elif isinstance(node, _Call):
             for a in node.args:
                 walk(a)
+        elif isinstance(node, _Index):
+            walk(node.base)
 
     walk(_Parser(_tokenize(expr), expr).parse())
     return keys

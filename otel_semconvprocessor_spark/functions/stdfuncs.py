@@ -24,6 +24,8 @@ Documented divergences (see README conformance table):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -41,6 +43,10 @@ __all__ = [
     "parse_key_value",
     "to_key_value_string",
     "ottl_decode",
+    "glob_to_regex",
+    "url_to_map",
+    "parse_csv",
+    "typeof_is",
 ]
 
 
@@ -377,3 +383,169 @@ def ottl_decode(col: Column | str, encoding: str) -> Column:
             padded.rlike(_B64_RE), F.unbase64(padded).cast("string")
         )
     raise ValueError(f"unsupported Decode encoding {encoding!r}")
+
+
+# ---------------------------------------------------------------------------
+# Type predicates (ottlfuncs IsString/IsInt/IsDouble/IsBool/IsMap/IsList)
+# ---------------------------------------------------------------------------
+
+
+def typeof_is(col: Column | str, spark_types: tuple[str, ...],
+              prefix: bool = False) -> Column:
+    """ottlfuncs Is<Type>(target): true iff the value is non-nil AND of the
+    given type.  The compiled expression's Catalyst type plays the role of
+    the pcommon value type: ``typeof()`` folds to a constant per plan, so
+    the predicate codegens to a plain null check (or a literal false when
+    the types can't match).  nil -> false, exactly upstream's behavior."""
+    c = _as_col(col)
+    t = F.call_function("typeof", c)
+    if prefix:
+        m = t.startswith(spark_types[0])
+        for s in spark_types[1:]:
+            m = m | t.startswith(s)
+    else:
+        m = t.isin(*spark_types)
+    return m & c.isNotNull()
+
+
+# ---------------------------------------------------------------------------
+# Glob matching (ottlfuncs ReplaceMatch / ReplaceAllMatches -> Go
+# path.Match grammar), translated to an anchored Java regex at COMPILE time
+# ---------------------------------------------------------------------------
+
+_GLOB_CLASS_CHARS = set("abcdefghijklmnopqrstuvwxyz"
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-^")
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Translate a Go ``path.Match`` glob to an anchored Java regex:
+    ``*`` -> any run of non-``/`` chars, ``?`` -> one non-``/`` char,
+    ``[...]`` / ``[^...]`` character classes pass through (``\\`` escapes the
+    next char, as in Go).  Raises ``ValueError`` on a malformed pattern
+    (unterminated class / trailing backslash) — Go's ErrBadPattern, surfaced
+    at compile time."""
+    out = ["^"]
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "*":
+            out.append("[^/]*")
+        elif ch == "?":
+            out.append("[^/]")
+        elif ch == "\\":
+            if i + 1 >= n:
+                raise ValueError(f"glob pattern {pattern!r}: trailing backslash")
+            out.append(re.escape(pattern[i + 1]))
+            i += 1
+        elif ch == "[":
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":  # leading ] is a literal member
+                j += 1
+            while j < n and pattern[j] != "]":
+                if pattern[j] == "\\":
+                    j += 1
+                j += 1
+            if j >= n:
+                raise ValueError(f"glob pattern {pattern!r}: unterminated character class")
+            cls = pattern[i : j + 1]
+            # Go classes use the same [a-z] / [^a-z] syntax as Java regex;
+            # escape regex metachars that Go treats literally inside a class
+            body = cls[1:-1].replace("&&", r"\&\&")
+            out.append("[" + body + "]")
+            i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# URL(url) -> semconv url.* map (ottlfuncs func_url.go, net/url semantics)
+# ---------------------------------------------------------------------------
+
+
+def url_to_map(col: Column | str) -> Column:
+    """ottlfuncs URL(target): parse a URL string into the semconv ``url.*``
+    attribute map via the JVM's ``parse_url`` (Hive/java.net.URI grammar —
+    same component model as Go's net/url for well-formed absolute URLs).
+
+    Emitted keys (present components only, like upstream): ``url.original``,
+    ``url.scheme``, ``url.domain``, ``url.port``, ``url.path``,
+    ``url.query``, ``url.fragment``, ``url.extension``, ``url.user_info``.
+    Port renders as its decimal string (the map is string-typed; upstream
+    stores int64).  nil -> NULL."""
+    c = _as_col(col)
+    part = lambda p: F.parse_url(c, F.lit(p))  # noqa: E731
+    authority = part("AUTHORITY")
+    path = part("PATH")
+    entries = [
+        ("url.original", c),
+        ("url.scheme", part("PROTOCOL")),
+        ("url.domain", part("HOST")),
+        ("url.port", F.regexp_extract(authority, r":(\d+)$", 1)),
+        ("url.path", path),
+        ("url.query", part("QUERY")),
+        ("url.fragment", part("REF")),
+        ("url.extension", F.regexp_extract(path, r"\.([^./]+)$", 1)),
+        ("url.user_info", part("USERINFO")),
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(k).alias("key"), v.alias("value"))
+            for k, v in entries
+        ]
+    )
+    return F.when(
+        c.isNotNull(),
+        F.map_from_entries(
+            F.filter(arr, lambda e: e["value"].isNotNull() & (e["value"] != ""))
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ParseCSV (ottlfuncs func_parse_csv.go)
+# ---------------------------------------------------------------------------
+
+
+def parse_csv(
+    col: Column | str,
+    headers: list[str],
+    delimiter: str = ",",
+    mode: str = "strict",
+) -> Column:
+    """ottlfuncs ParseCSV(target, headers[, delimiter[, mode]]) ->
+    map<header, field>.
+
+    ``strict`` parses RFC-4180 quoting through Spark's ``from_csv``;
+    ``ignoreQuotes`` is a plain delimiter split.  Upstream errors (-> NULL
+    here) when the field count differs from the header count; ``from_csv``'s
+    PERMISSIVE null-padding/truncation is therefore rejected by re-counting
+    the fields before building the map."""
+    c = _as_col(col)
+    n = len(headers)
+    hdr_arr = F.array(*[F.lit(h) for h in headers])
+    if mode == "ignoreQuotes":
+        parts = F.split(c, re.escape(delimiter), -1)
+        return F.when(
+            F.size(parts) == n, F.map_from_arrays(hdr_arr, parts)
+        )
+    # strict: generic field names keep arbitrary header strings out of the
+    # DDL schema; quote-aware field COUNT check = from_csv on the line with
+    # one extra column — a line with exactly n fields leaves it null
+    schema = ", ".join(f"_c{i} string" for i in range(n))
+    parsed = F.from_csv(c, schema, {"sep": delimiter, "mode": "PERMISSIVE"})
+    over = F.from_csv(
+        c, schema + f", _c{n} string", {"sep": delimiter, "mode": "PERMISSIVE"}
+    )
+    fields = F.array(*[parsed[f"_c{i}"] for i in range(n)])
+    return F.when(
+        c.isNotNull()
+        & over[f"_c{n}"].isNull()
+        & ~F.exists(fields, lambda x: x.isNull()),
+        F.map_from_arrays(hdr_arr, fields),
+    )

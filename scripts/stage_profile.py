@@ -35,11 +35,13 @@ spark = (
     .appName(f"stage-profile-{cores}")
     .config("spark.sql.shuffle.partitions", str(2 * cores))
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
     .config("spark.driver.memory", "16g")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     .config("spark.local.dir", "/dev/shm/spark-local")
     .config("spark.eventLog.enabled", "true")
     .config("spark.eventLog.dir", evdir)
@@ -54,7 +56,10 @@ from otel_semconvprocessor_spark.operators.enrich import (  # noqa: E402
     lang_dim,
     mappings_table,
 )
-from otel_semconvprocessor_spark.operators.route import write_routed_single_pass  # noqa: E402
+from otel_semconvprocessor_spark.operators.route import (  # noqa: E402
+    slim_for_sink,
+    write_routed_single_pass,
+)
 from otel_semconvprocessor_spark.plans.pipeline import build_normalized  # noqa: E402
 
 pages = spark.read.parquet(f"{data_dir}/pages")
@@ -62,9 +67,12 @@ mappings_df = mappings_table(spark, default_semconv_mappings()).persist()
 mappings_df.count()
 dim = lang_dim(spark).persist()
 dim.count()
-normalized = build_normalized(
-    spark, pages, extractor="pandas", mappings_df=mappings_df, dims=[(dim, "lang")]
-).drop("html", "text")
+# identical to bench.run_pipeline_level's timed region (slim sink included)
+normalized = slim_for_sink(
+    build_normalized(
+        spark, pages, extractor="pandas", mappings_df=mappings_df, dims=[(dim, "lang")]
+    ).drop("html", "text")
+)
 normalized.schema
 
 walls = []

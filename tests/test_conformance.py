@@ -117,7 +117,8 @@ def test_unsupported_constructs_each_cleanly_reject(spark):
         "format_float_verb", "dynamic_pattern", "bad_regex",
         "split_wrong_arity", "replace_all_on_scalar",
         "time_epoch_directive", "decode_unknown_encoding",
-        "parse_key_value_same_delims",
+        "parse_key_value_same_delims", "csv_lazy_quotes", "bad_glob",
+        "sort_bad_order",
     }
     for rules in by_rule.values():
         for r in rules:

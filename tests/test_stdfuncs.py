@@ -268,6 +268,25 @@ def test_supported_functions_all_dispatch():
         "Values": "Values(ParseJSON(name))",
         "Hex": "Hex(name)",
         "Log": "Log(Double(name))",
+        "IsString": "IsString(name)",
+        "IsInt": "IsInt(Int(name))",
+        "IsDouble": "IsDouble(Double(name))",
+        "IsBool": 'IsBool(IsMatch(name, "x"))',
+        "IsMap": "IsMap(ParseJSON(name))",
+        "IsList": 'IsList(Split(name, ","))',
+        "SHA512": "SHA512(name)",
+        "Sort": 'Sort(Split(name, ","))',
+        "Year": 'Year(Time(name, "%Y"))',
+        "Month": 'Month(Time(name, "%Y"))',
+        "Day": 'Day(Time(name, "%Y"))',
+        "Hour": 'Hour(Time(name, "%Y"))',
+        "Minute": 'Minute(Time(name, "%Y"))',
+        "Second": 'Second(Time(name, "%Y"))',
+        "ParseCSV": 'ParseCSV(name, "a,b")',
+        "URL": "URL(name)",
+        "ReplaceMatch": 'ReplaceMatch(name, "a*", "b")',
+        "ReplaceAllMatches": 'ReplaceAllMatches(attributes, "a*", "b")',
+        "TruncateAll": "TruncateAll(attributes, 10)",
     }
     assert set(invocations) == set(SUPPORTED_FUNCTIONS)
     for expr in invocations.values():
@@ -466,3 +485,167 @@ def test_parse_key_value_trims_around_inner_delimiter(spark):
         compile_ottl('ParseKeyValue(name, "=", ",")', name_col="s").alias("v")
     ).collect()[0]["v"]
     assert got == {"a": "1", "b": "2"}
+
+
+# ---- Type predicates / SHA512 / Sort / calendar (round-5 batch 2) ---------
+
+
+def test_type_predicates(frame):
+    # the compiled expression's Catalyst type plays the pcommon value-type
+    # role; nil -> false like upstream
+    assert _col(frame, 'IsString(name)') == {1: True, 2: True, 3: True, 4: False, 5: True}
+    is_int = _col(frame, 'IsInt(Int(attributes["n"]))')
+    assert is_int[1] is True and is_int[5] is False and is_int[3] is False
+    assert _col(frame, 'IsInt(name)')[1] is False  # string-typed: never int
+    is_dbl = _col(frame, 'IsDouble(Double(attributes["n"]))')
+    assert is_dbl[2] is True and is_dbl[5] is False
+    assert _col(frame, 'IsBool(IsMatch(name, "simple"))')[1] is True
+    assert _col(frame, 'IsMap(ParseJSON(attributes["json"]))')[3] is True
+    assert _col(frame, 'IsMap(ParseJSON(attributes["json"]))')[1] is False  # missing -> nil
+    assert _col(frame, 'IsList(Split(name, "_"))')[3] is True
+    assert _col(frame, 'IsList(name)')[3] is False
+
+
+def test_sha512(frame):
+    import hashlib
+
+    got = _col(frame, "SHA512(name)")
+    assert got[1] == hashlib.sha512(b"simpleString").hexdigest()
+    assert got[4] is None
+
+
+def test_sort(frame):
+    assert _col(frame, 'Sort(Split(name, "_"))')[3] == ["case word", "test"]
+    assert _col(frame, 'Sort(Split(name, "_"), "desc")')[3] == ["test", "case word"]
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Sort(name, "sideways")')
+
+
+def test_calendar_accessors(spark):
+    df = spark.createDataFrame([(1, "2024-03-05 07:08:09")], "id long, ts string")
+    vals = {}
+    for fn in ("Year", "Month", "Day", "Hour", "Minute", "Second"):
+        vals[fn] = df.select(
+            compile_ottl(f'{fn}(Time(name, "%Y-%m-%d %H:%M:%S"))', name_col="ts").alias("v")
+        ).collect()[0]["v"]
+    assert vals == {"Year": 2024, "Month": 3, "Day": 5, "Hour": 7, "Minute": 8, "Second": 9}
+
+
+# ---- ParseCSV -------------------------------------------------------------
+
+
+def test_parse_csv_strict_quote_aware(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 'a,"b,with comma",c'),
+            (2, "1,2,3"),
+            (3, "too,few"),
+            (4, "too,many,fields,here"),
+            (5, None),
+        ],
+        "id long, s string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", compile_ottl('ParseCSV(name, "h1,h2,h3")', name_col="s").alias("v")
+        ).collect()
+    }
+    assert got[1] == {"h1": "a", "h2": "b,with comma", "h3": "c"}
+    assert got[2] == {"h1": "1", "h2": "2", "h3": "3"}
+    assert got[3] is None  # field-count mismatch errors upstream
+    assert got[4] is None
+    assert got[5] is None
+
+
+def test_parse_csv_ignore_quotes_and_custom_delims(spark):
+    df = spark.createDataFrame([(1, 'x|"quoted|text'), (2, "a|b")], "id long, s string")
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id",
+            compile_ottl(
+                'ParseCSV(name, "f1;f2", "|", ";", "ignoreQuotes")', name_col="s"
+            ).alias("v"),
+        ).collect()
+    }
+    assert got[2] == {"f1": "a", "f2": "b"}
+    # ignoreQuotes splits blindly: the quoted delimiter still splits, so the
+    # line has 3 fields vs 2 headers -> error-as-null
+    assert got[1] is None
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ParseCSV(name, "a,b", ",", ",", "lazyQuotes")')
+
+
+# ---- URL ------------------------------------------------------------------
+
+
+def test_url_components(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://user:pw@sub.example.com:8443/api/v1/file.json?q=1&r=2#frag"),
+            (2, "http://example.com/plain"),
+            (3, None),
+        ],
+        "id long, s string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", compile_ottl("URL(name)", name_col="s").alias("v")).collect()
+    }
+    u = got[1]
+    assert u["url.scheme"] == "https"
+    assert u["url.domain"] == "sub.example.com"
+    assert u["url.port"] == "8443"
+    assert u["url.path"] == "/api/v1/file.json"
+    assert u["url.query"] == "q=1&r=2"
+    assert u["url.fragment"] == "frag"
+    assert u["url.extension"] == "json"
+    assert u["url.user_info"] == "user:pw"
+    assert u["url.original"].startswith("https://")
+    # absent components omitted, like upstream
+    assert set(got[2]) == {"url.original", "url.scheme", "url.domain", "url.path"}
+    assert got[3] is None
+
+
+# ---- ReplaceMatch / ReplaceAllMatches / TruncateAll -----------------------
+
+
+def test_replace_match_glob(spark):
+    df = spark.createDataFrame(
+        [(1, "GET /api/users/42"), (2, "POST /admin"), (3, None)], "id long, s string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id",
+            compile_ottl(
+                'ReplaceMatch(name, "GET *", "{sanitized}")', name_col="s"
+            ).alias("v"),
+        ).collect()
+    }
+    # path.Match: * does NOT cross '/' — "GET *" can't match the pathful value
+    assert got[1] == "GET /api/users/42"
+    assert got[2] == "POST /admin"
+    assert got[3] is None
+    got2 = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id",
+            compile_ottl('ReplaceMatch(name, "GET /*/*/*", "{get}")', name_col="s").alias("v"),
+        ).collect()
+    }
+    assert got2[1] == "{get}"
+    assert got2[2] == "POST /admin"
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('ReplaceMatch(name, "bad[class", "x")')
+
+
+def test_replace_all_matches_and_truncate_all(frame):
+    got = _col(frame, 'ReplaceAllMatches(attributes, "v *", "{v}")')
+    assert got[1]["k"] == "{v}"  # "v one" matches glob "v *"
+    assert got[1]["n"] == "42"
+    t = _col(frame, "TruncateAll(attributes, 2)")
+    assert t[1]["k"] == "v " and t[1]["dur"] == "1h"
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl("TruncateAll(name, 2)")

@@ -536,12 +536,17 @@ def parse_csv(
         )
     # strict: generic field names keep arbitrary header strings out of the
     # DDL schema; quote-aware field COUNT check = from_csv on the line with
-    # one extra column — a line with exactly n fields leaves it null
+    # one extra column — a line with exactly n fields leaves it null.  The
+    # improbable nullValue sentinel keeps QUOTED empty fields ('a,"",c')
+    # parsing as "" (a valid CSV field upstream) instead of Spark CSV's
+    # default empty-means-null; nulls then mark MISSING fields = the error
+    # case.  Divergence (README): UNQUOTED empty fields ("a,,c" / "a,b,")
+    # are indistinguishable from missing ones in the univocity parser and
+    # error here, where Go's encoding/csv yields "".
+    opts = {"sep": delimiter, "mode": "PERMISSIVE", "nullValue": "\x00"}
     schema = ", ".join(f"_c{i} string" for i in range(n))
-    parsed = F.from_csv(c, schema, {"sep": delimiter, "mode": "PERMISSIVE"})
-    over = F.from_csv(
-        c, schema + f", _c{n} string", {"sep": delimiter, "mode": "PERMISSIVE"}
-    )
+    parsed = F.from_csv(c, schema, opts)
+    over = F.from_csv(c, schema + f", _c{n} string", opts)
     fields = F.array(*[parsed[f"_c{i}"] for i in range(n)])
     return F.when(
         c.isNotNull()

@@ -649,3 +649,20 @@ def test_replace_all_matches_and_truncate_all(frame):
     assert t[1]["k"] == "v " and t[1]["dur"] == "1h"
     with pytest.raises(OTTLSyntaxError):
         compile_ottl("TruncateAll(name, 2)")
+
+
+def test_parse_csv_empty_field_handling(spark):
+    df = spark.createDataFrame(
+        [(1, 'a,"",c'), (2, "a,b,"), (3, "a,,c")], "id long, s string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", compile_ottl('ParseCSV(name, "x,y,z")', name_col="s").alias("v")
+        ).collect()
+    }
+    assert got[1] == {"x": "a", "y": "", "z": "c"}  # quoted empty is a field
+    # documented divergence: UNQUOTED empty fields (interior or trailing)
+    # are univocity-missing -> error-as-null; Go's encoding/csv yields ""
+    assert got[2] is None
+    assert got[3] is None

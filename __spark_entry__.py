@@ -344,6 +344,36 @@ def _q_rule_cascade_urlglob(spark, sf_dir):
     return n.select("doc_id", "rule_id", "operation_name", "operation_type")
 
 
+def _q_grok_apache_rows(spark, sf_dir):
+    """ExtractGrokPatterns over synthesized Apache combined-log lines: the
+    %{COMBINEDAPACHELOG} base pattern (functions/grok.py) expands at compile
+    time to one flat regex -> one regexp_extract per capture, pure
+    expressions.  Lines derive deterministically from doc_id so the DuckDB
+    twin re-derives every field with arithmetic, no grok on the oracle
+    side."""
+    from otel_semconvprocessor_spark.functions.ottl import compile_ottl
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(500)
+    did = F.col("doc_id")
+    line = F.format_string(
+        '203.0.113.%d - u%d [10/Oct/2024:13:%02d:%02d -0700] '
+        '"GET /item/%d?q=%d HTTP/1.1" %d %d "http://ref.example.com/" "agent-%d"',
+        did % 250, did % 10, did % 60, (did * 7) % 60,
+        did % 100, did % 7, (did % 4) * 100 + 200, (did * 13) % 9999, did % 3,
+    )
+    w = d.withColumn("line", line)
+    grok = 'ExtractGrokPatterns(name, "%{COMBINEDAPACHELOG}")'
+    return w.select(
+        "doc_id",
+        compile_ottl(f'{grok}["clientip"]', name_col="line").alias("clientip"),
+        compile_ottl(f'{grok}["verb"]', name_col="line").alias("verb"),
+        compile_ottl(f'{grok}["request"]', name_col="line").alias("request"),
+        compile_ottl(f'{grok}["response"]', name_col="line").alias("response"),
+        compile_ottl(f'{grok}["bytes"]', name_col="line").alias("bytes"),
+        compile_ottl(f'{grok}["timestamp"]', name_col="line").alias("ts"),
+    )
+
+
 def _q_rule_effectiveness(spark, sf_dir):
     """M2: span_names_enforced by (rule_id, operation_type, mode)."""
     n = _normalized(spark, sf_dir)
@@ -1221,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_stdfuncs": _q_rule_cascade_stdfuncs,
         "rule_cascade_timefuncs": _q_rule_cascade_timefuncs,
         "rule_cascade_urlglob": _q_rule_cascade_urlglob,
+        "grok_apache_rows": _q_grok_apache_rows,
         "rule_effectiveness": _q_rule_effectiveness,
         "sink_route_counts": _q_sink_route_counts,
         "cardinality_metrics": _q_cardinality_metrics,
@@ -1781,6 +1812,15 @@ SELECT doc_id, rule_id,
     WHEN 'glob_rule' THEN split_part(rawop, ' ', 2)
   END AS operation_type
 FROM matched""",
+        "grok_apache_rows": """SELECT doc_id,
+  '203.0.113.' || CAST(doc_id % 250 AS VARCHAR) AS clientip,
+  'GET' AS verb,
+  '/item/' || CAST(doc_id % 100 AS VARCHAR) || '?q=' || CAST(doc_id % 7 AS VARCHAR) AS request,
+  CAST((doc_id % 4) * 100 + 200 AS VARCHAR) AS response,
+  CAST((doc_id * 13) % 9999 AS VARCHAR) AS bytes,
+  '10/Oct/2024:13:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+    || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') || ' -0700' AS ts
+FROM (SELECT doc_id FROM documents LIMIT 500)""",
         "rule_effectiveness": f"""WITH {cascade}
 SELECT rule_id, coalesce(operation_type, '') AS operation_type,
        count(*) AS enforced_count, 'enforce' AS mode

@@ -160,16 +160,25 @@ def bw_calibration(low: int, high: int, n_iter: int = 6) -> dict:
     engine's work is a mix, so its attainable two-level ceiling sits
     BETWEEN these two measured ceilings; publishing both brackets what the
     Spark number can honestly reach on this hardware (tmpfs shuffle,
-    page-cache and Arrow traffic all draw on the same bandwidth)."""
+    page-cache and Arrow traffic all draw on the same bandwidth).
+
+    Same instrument discipline as bw_probe_high (the r5 run that published
+    a nonsense 2.115 'ceiling' measured its LOW level cold at 0.2 GB/s):
+    warm the worker pool once so numpy import + first-touch faults land
+    outside the timed copies, and use the workers' own timed walls."""
     import multiprocessing as mp
+
+    global _BW_PROBE_WARM
 
     def agg(k: int) -> float:
         with mp.Pool(k) as p:
-            t0 = time.time()
-            p.map(_stream_copy, [n_iter] * k)
-            wall = time.time() - t0
-        return k * n_iter * 0.512 / wall
+            walls = p.map(_stream_copy, [n_iter] * k)
+        return k * n_iter * 0.512 / max(walls)
 
+    if not _BW_PROBE_WARM:
+        with mp.Pool(high) as p:
+            p.map(_stream_copy, [1] * high)
+        _BW_PROBE_WARM = True
     g_low, g_high = agg(low), agg(high)
     return {
         "bw_gbps_low": round(g_low, 2),
@@ -439,6 +448,26 @@ def run_operator_benches(cores: int, sf_dir: str, out_dir: str) -> dict:
 
         bench("text_quality_staged", text_quality)
         bench("lang_id", lambda: pages.groupBy(lang_id("text").alias("g")).count().collect())
+
+        # grok: %{COMBINEDAPACHELOG} (the 15-capture flagship base pattern)
+        # over 1M synthesized Apache lines — all JVM regexp_extract, no UDF
+        from otel_semconvprocessor_spark.functions.ottl import compile_ottl as _co
+
+        def grok_1m():
+            did = F.col("id")
+            lines = spark.range(1_000_000).select(
+                F.format_string(
+                    '203.0.113.%d - u%d [10/Oct/2024:13:%02d:%02d -0700] '
+                    '"GET /item/%d?q=%d HTTP/1.1" %d %d "http://r.example.com/" "ua-%d"',
+                    did % 250, did % 10, did % 60, (did * 7) % 60,
+                    did % 100, did % 7, (did % 4) * 100 + 200,
+                    (did * 13) % 9999, did % 3,
+                ).alias("line")
+            )
+            g = _co('ExtractGrokPatterns(name, "%{COMBINEDAPACHELOG}")', name_col="line")
+            lines.select(g.alias("m")).groupBy(F.col("m")["response"]).count().collect()
+
+        bench("grok_apache_1m", grok_1m)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 10)
         bench("topk_brute_force", lambda: topk_brute_force(emb, queries, k=10).count())
@@ -743,10 +772,20 @@ def main() -> None:
         # ~5-minute operator table so the whole budget goes to scaling-pair
         # windows (the official driver run keeps the default and records the
         # full table)
+        ops_cache = f"{REPO}/BENCH/OPS.json"
         if os.environ.get("SPARK_GRAFT_BENCH_SKIP_OPS") == "1":
-            timings = {}
+            # window-shopping runs carry the LAST full operator table through
+            # to BASELINE.md instead of blanking it (r5: a shopping run left
+            # the committed artifact with an empty table)
+            try:
+                with open(ops_cache) as f:
+                    timings = json.load(f)
+            except OSError:
+                timings = {}
         else:
             timings = _spawn("operators", CPUS, out_dir)
+            with open(ops_cache, "w") as f:
+                json.dump(timings, f, indent=1)
         # scaling measurement: ADJACENT (L,H) spawn pairs — both levels
         # sampled within the same few-minute host window, each spawn taking
         # 1 cold + WARMS warm runs (steady state needs runs ~4-6: C2
@@ -810,9 +849,18 @@ def main() -> None:
             hi = min(w for r in highs for w in r["warm_walls"])
             return lo / ((high_cores / low_cores) * hi)
 
+        # SPARK_GRAFT_BENCH_MIN_CLEAR > 1 keeps sampling after the pooled
+        # gate clears until that many WINDOWS have individually cleared 0.8
+        # (robustness evidence: the r4 verdict asked for >= 2 of 3 windows,
+        # not one lucky one)
+        min_clear = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_CLEAR", "1"))
         while len(pair_effs) < 5:
             elapsed = time.time() - t_start
-            if lows and _pooled_eff() >= 0.8:
+            if (
+                lows
+                and _pooled_eff() >= 0.8
+                and sum(e >= 0.8 for e in pair_effs_min) >= min_clear
+            ):
                 break
             if elapsed + est_pair + 40 > budget and pair_effs:
                 break

@@ -134,6 +134,7 @@ SUPPORTED_FUNCTIONS = frozenset(
         "IsString", "IsInt", "IsDouble", "IsBool", "IsMap", "IsList",
         "SHA512", "Sort", "Year", "Month", "Day", "Hour", "Minute", "Second",
         "ParseCSV", "URL", "ReplaceMatch", "ReplaceAllMatches", "TruncateAll",
+        "ExtractGrokPatterns",
         *_DURATION_CONVERTERS,
     ]
 )
@@ -850,6 +851,52 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         return F.transform_values(
             comp(node.args[0]),
             lambda k, v: F.when(v.rlike(pat), F.lit(repl)).otherwise(v),
+        )
+    if node.func == "ExtractGrokPatterns":
+        # ottlfuncs.ExtractGrokPatterns(target, pattern[, namedCapturesOnly]):
+        # %{SYNTAX:SEMANTIC} references expand against the curated base table
+        # (functions/grok.py) into ONE flat regex at COMPILE time, then lower
+        # to the same one-regexp_extract-per-group plan ExtractPatterns uses.
+        # Unknown/cyclic/coerced references reject at load; a line the
+        # pattern doesn't match -> NULL (upstream parse error), matched-empty
+        # groups are omitted (ExtractPatterns convention).
+        from .grok import grok_group_names, grok_to_java_regex
+
+        if (
+            len(node.args) not in (2, 3)
+            or not isinstance(node.args[1], _Str)
+            or (len(node.args) == 3 and not isinstance(node.args[2], _Bool))
+        ):
+            raise OTTLSyntaxError(
+                "ExtractGrokPatterns takes (target, string-literal pattern"
+                "[, bool namedCapturesOnly])"
+            )
+        nco = node.args[2].value if len(node.args) == 3 else True
+        try:
+            flat = grok_to_java_regex(node.args[1].value, named_captures_only=nco)
+            name_map = grok_group_names(node.args[1].value, named_captures_only=nco)
+            groupindex = re.compile(flat).groupindex
+        except (ValueError, re.error) as exc:
+            raise OTTLSyntaxError(f"ExtractGrokPatterns: {exc}") from exc
+        if not groupindex:
+            raise OTTLSyntaxError(
+                "ExtractGrokPatterns pattern captures nothing — add a "
+                "%{SYNTAX:semantic} reference or namedCapturesOnly=false"
+            )
+        java_pat = re.sub(r"\(\?P<[^>]+>", "(", flat)
+        col = comp(node.args[0])
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(name_map.get(g, g)).alias("key"),
+                    F.regexp_extract(col, java_pat, num).alias("value"),
+                )
+                for g, num in groupindex.items()
+            ]
+        )
+        return F.when(
+            col.isNotNull() & col.rlike(java_pat),
+            F.map_from_entries(F.filter(entries, lambda e: e["value"] != "")),
         )
     if node.func == "TruncateAll":
         # editor truncate_all(attributes, limit) value-form: every map value

@@ -118,7 +118,7 @@ def test_unsupported_constructs_each_cleanly_reject(spark):
         "split_wrong_arity", "replace_all_on_scalar",
         "time_epoch_directive", "decode_unknown_encoding",
         "parse_key_value_same_delims", "csv_lazy_quotes", "bad_glob",
-        "sort_bad_order",
+        "sort_bad_order", "grok_unknown_pattern", "grok_type_coercion",
     }
     for rules in by_rule.values():
         for r in rules:

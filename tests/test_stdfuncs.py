@@ -287,6 +287,7 @@ def test_supported_functions_all_dispatch():
         "ReplaceMatch": 'ReplaceMatch(name, "a*", "b")',
         "ReplaceAllMatches": 'ReplaceAllMatches(attributes, "a*", "b")',
         "TruncateAll": "TruncateAll(attributes, 10)",
+        "ExtractGrokPatterns": 'ExtractGrokPatterns(name, "%{WORD:w}")',
     }
     assert set(invocations) == set(SUPPORTED_FUNCTIONS)
     for expr in invocations.values():

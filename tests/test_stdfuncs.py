@@ -667,3 +667,26 @@ def test_parse_csv_empty_field_handling(spark):
     # are univocity-missing -> error-as-null; Go's encoding/csv yields ""
     assert got[2] is None
     assert got[3] is None
+
+
+# ---- converter-result indexing (grammar round-5) --------------------------
+
+
+def test_index_list_and_out_of_range(spark):
+    df = spark.createDataFrame([("a,b,c",)], "s string")
+    r = df.select(
+        compile_ottl('Split(name, ",")[0]', name_col="s").alias("first"),
+        compile_ottl('Split(name, ",")[2]', name_col="s").alias("last"),
+        compile_ottl('Split(name, ",")[9]', name_col="s").alias("oob"),
+    ).first()
+    assert r["first"] == "a" and r["last"] == "c"
+    assert r["oob"] is None  # out-of-range errors upstream -> null
+
+
+def test_index_rejects_bad_subscripts():
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Split(name, ",")[-1]')  # negative index
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Split(name, ",")[name]')  # non-literal subscript
+    with pytest.raises(OTTLSyntaxError):
+        compile_ottl('Split(name, ",")[')  # unterminated

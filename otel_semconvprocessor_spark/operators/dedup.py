@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import minhash_signature, word_shingles, ws_tokens
+from ..tuning import ensure_jit_codegen
 
 __all__ = [
     "normalize_text",
@@ -133,6 +134,7 @@ def minhash_lsh_pairs(
     the candidate pair set; 2-row bands measured 10x more candidates.
     """
     assert num_hashes % bands == 0
+    ensure_jit_codegen(df.sparkSession)
     rows_per_band = num_hashes // bands
     # stage words -> shingles -> signature as materialized projections:
     # embedding word_shingles(text) directly inside the 16 salted array_min

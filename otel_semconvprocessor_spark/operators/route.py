@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tuning import ensure_jit_codegen
+
 __all__ = [
     "SINKS",
     "SINK_REDUNDANT_ATTR_KEYS",
@@ -183,6 +185,7 @@ def write_routed_single_pass(
     hot-day skew case): the deterministic url-hash salt spreads each combo
     over that many writers.
     """
+    ensure_jit_codegen(df.sparkSession)
     routed = _with_day(assign_sink(df))
     salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(max(1, files_per_partition)))
     routed = routed.repartition(

@@ -53,6 +53,7 @@ from ..functions.ottl import (
     value_expr_never_null,
 )
 from ..functions.scalars import attr
+from ..tuning import ensure_jit_codegen
 
 __all__ = ["compile_rule_columns", "apply_rules", "finish_match", "CompiledRuleCols"]
 
@@ -119,6 +120,7 @@ def apply_rules(
     first-match-wins means the average row only evaluates a few rules'
     predicates.  Kept as a hook: a rule set whose FIRST rules reuse many
     keys would flip the trade."""
+    ensure_jit_codegen(df.sparkSession)
     if not cfg.enabled or not cfg.span_processing.enabled:
         # processor.go:122-124 / 146-148: disabled => identity, but keep the
         # output schema stable for downstream stages.

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..config import Config
 from ..functions.scalars import attr
+from ..tuning import ensure_jit_codegen
 from .rules import compile_rule_columns, finish_match
 
 __all__ = ["rules_table", "apply_rules_broadcast"]
@@ -84,6 +85,7 @@ def apply_rules_broadcast(
     unchanged.  Pass ``schema_url_col=None`` to opt into wildcard-only
     matching explicitly.
     """
+    ensure_jit_codegen(df.sparkSession)
     if not cfg.enabled or not cfg.span_processing.enabled:
         return df.withColumns(
             {

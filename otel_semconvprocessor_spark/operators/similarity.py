@@ -25,6 +25,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tuning import ensure_jit_codegen
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -162,6 +164,7 @@ def topk_brute_force(
 ) -> DataFrame:
     """Exact top-k: corpus x broadcast(queries); returns
     (query_id, vec_id, score, rank) with deterministic id tie-breaks."""
+    ensure_jit_codegen(corpus.sparkSession)
     q = queries.select(
         F.col(id_col).alias(query_id),
         F.col(vec_col).alias("__qvec"),
@@ -197,6 +200,7 @@ def topk_brute_force_pandas(
     through mapInPandas without shuffle."""
     import numpy as _np
 
+    ensure_jit_codegen(corpus.sparkSession)
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = [r[id_col] for r in qrows]
     # one C-level stack, same as the corpus side (driver-side and small by
@@ -318,6 +322,7 @@ def topk_ivf(
     Per-query cost ~ |corpus| x nprobe / n_cells.  Pass ``centroids`` (e.g.
     kmeans_refine output) for better recall; default = seed_centroids, which
     the DuckDB oracle reproduces exactly."""
+    ensure_jit_codegen(corpus.sparkSession)
     if centroids is None:
         centroids = seed_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
     c = corpus.select(
@@ -440,6 +445,7 @@ def embedding_near_dup_pairs(
     shuffle x tables (the round-2 shape did both)."""
     from pyspark import StorageLevel
 
+    ensure_jit_codegen(df.sparkSession)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     vecs = df.select(
@@ -545,6 +551,7 @@ def topk_lsh(
     expressions), the tiny probe set broadcasts, and only candidate rows are
     scored — per-query cost ~ tables * corpus / 2^bits instead of |corpus|.
     """
+    ensure_jit_codegen(corpus.sparkSession)
     # hyperplane construction needs the vector dimensionality, which
     # array<float> schemas don't carry — pass ``dim`` to avoid the
     # driver-side probe read

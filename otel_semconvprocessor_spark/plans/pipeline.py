@@ -40,6 +40,7 @@ from ..operators.extract import extract_pages, extract_pages_native
 from ..operators.metrics import MetricsManifest, metrics_manifest
 from ..operators.route import write_routed_single_pass
 from ..operators.rules import apply_rules
+from ..tuning import ensure_jit_codegen
 
 __all__ = ["PipelineResult", "build_normalized", "run_pipeline", "RESOURCE_ATTRS"]
 
@@ -77,6 +78,7 @@ def build_normalized(
     their createDataFrame + local aggregation is a fixed per-plan driver cost
     otherwise."""
     cfg = cfg or reference_config()
+    ensure_jit_codegen(spark)
     extract = extract_pages if extractor == "pandas" else extract_pages_native
     df = extract(pages)
     if with_mappings:

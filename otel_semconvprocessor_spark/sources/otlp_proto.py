@@ -619,6 +619,9 @@ def spans_from_otlp_proto(
     sane mode for a web-scale feed where some fraction of payloads is
     always garbage (count the drop rate by differencing request counts,
     M8-style)."""
+    from ..tuning import ensure_jit_codegen
+
+    ensure_jit_codegen(df.sparkSession)
     from .otlp_json import SPAN_ROW_SCHEMA
 
     if on_error not in ("fail", "skip"):

@@ -120,3 +120,27 @@ def test_duplicate_telemetry_keys_last_wins(spark):
     assert b["attrs"]["http.method"] == "POST"
     assert a["name"] == b["name"] and a["kind"] == b["kind"]
     assert dict(a["attrs"]) == dict(b["attrs"])
+
+
+def test_dedup_fast_path_mixed_rows(spark):
+    """Round-6: the duplicate-key guard is a lazy CASE (fast map_from_arrays
+    when keys are distinct, O(k^2) filter only on dup rows).  Mixed input
+    must route each row down the right branch with identical results."""
+    df = spark.createDataFrame(
+        [
+            ("https://ex.com/dup",
+             "span.name: d\nspan.kind: server\nk.a: 1\nk.a: 2\nk.b: x",
+             bytearray(b"<html></html>")),
+            ("https://ex.com/clean",
+             "span.name: c\nspan.kind: client\nk.a: 9\nk.b: y",
+             bytearray(b"<html></html>")),
+        ],
+        "url string, text string, html binary",
+    )
+    rows = {r["url"]: r for r in extract_pages_native(df).select("url", "attrs").collect()}
+    assert dict(rows["https://ex.com/dup"]["attrs"]) == {"k.a": "2", "k.b": "x"}
+    assert dict(rows["https://ex.com/clean"]["attrs"]) == {"k.a": "9", "k.b": "y"}
+    # parity with the pandas twin on the same mixed frame
+    p = {r["url"]: dict(r["attrs"]) for r in extract_pages(df).select("url", "attrs").collect()}
+    n = {u: dict(r["attrs"]) for u, r in rows.items()}
+    assert p == n

@@ -9,20 +9,26 @@ for its own schema version (plus version-wildcard rules), so different
 conventions can coexist in one corpus and rule-set changes are a table
 update, not a plan rebuild.
 
-Plan shape (and why the CASE chain stays the default):
-  * ``rules_table`` rows are tiny and ALWAYS broadcast — the span side never
-    shuffles for the join itself.  Versioned rules equi-join on schema_url
-    (BroadcastHashJoin); wildcard rules attach via broadcast nested-loop
-    (right side = a handful of rows).
-  * per-candidate evaluation dispatches by rule_id through a lazy CASE over
-    the SAME compiled Columns the chain cascade uses (rules are code; a join
-    can only select which rules apply).
-  * first-match-wins = min over struct(seq, ...) grouped by the span id —
-    ONE shuffle of the matched candidates (slim: id + hit struct), then a
-    join back to the span frame on the id.  The CASE chain needs ZERO
-    shuffles, which is why it remains the default path; this variant buys
-    data-driven rule dispatch for ~2 slim shuffles and is cross-checked equal
-    to the chain on every output column (tests/test_rules_broadcast.py).
+Plan shape (round-6 restructure — and why it now matches the chain's cost):
+  * the rule table is aggregated to ONE broadcastable row per schema_url
+    carrying the ordered set of applicable rule seqs; spans attach their
+    set via a broadcast LEFT equi-join on schema_url (BroadcastHashJoin —
+    the span side never shuffles).  Version-wildcard rules apply to every
+    span and need no join at all.
+  * per-span evaluation is the SAME lazy first-match CASE chain the default
+    cascade uses, with each versioned rule's predicate additionally gated on
+    ``array_contains(applicable_seqs, seq)`` — the broadcast DATA decides
+    which rules a span may match, the compiled Columns decide whether it
+    does.  Chain order is the validated priority order, so first-match ==
+    the old min-over-seq resolution.
+  * ZERO shuffles of the span side.  The previous shape cross-joined every
+    span with all |rules| wildcard rows (x18 candidate amplification),
+    shuffled the matches for a groupBy(id).min(seq), then sort-merge-joined
+    the winners back — 2 full id-keyed exchanges plus the amplification,
+    measured ~1.6x the chain at 1M rows (18.46s vs 11.70s, BENCH_r05).  The
+    rewrite is output-identical (tests/test_rules_broadcast.py cross-checks
+    every column against apply_rules, and the schema-dispatch golden pins
+    versioned behavior).
 
 Reference parity: semantics identical to processor.go:192-324 — the shared
 ``finish_match`` stage guarantees the enforce/enrich/attr-update behavior is
@@ -41,15 +47,13 @@ from .rules import compile_rule_columns, finish_match
 
 __all__ = ["rules_table", "apply_rules_broadcast"]
 
-_HIT_TYPE = "struct<seq:int,rule_id:string,op_name:string,op_type:string>"
-
 
 def rules_table(spark: SparkSession, cfg: Config) -> DataFrame:
     """The rule set as a broadcastable table: one row per (schema_url, rule).
 
     ``seq`` is the rule's position in the validated priority order — the
-    deterministic total order the first-match resolution minimizes over
-    (priority ties resolve like the CASE chain's declaration order)."""
+    deterministic total order first-match resolution follows (priority ties
+    resolve like the CASE chain's declaration order)."""
     rows = [
         (r.schema_url, i, r.id, r.priority)
         for i, r in enumerate(cfg.span_processing.rules)
@@ -72,11 +76,13 @@ def apply_rules_broadcast(
     """Apply the processor via a broadcast-joined rule table keyed by
     schema_url; output contract identical to ``apply_rules``.
 
-    ``id_col`` must uniquely identify a span (the first-match resolution
-    groups on it).  A rule row with ``schema_url == ""`` is version-wildcard
-    and applies to every span; a versioned rule row applies only to spans
-    whose ``schema_url_col`` equals it.  Spans with NULL in that column see
-    only wildcard rules.
+    ``id_col`` must uniquely identify a span (it anchors the per-span
+    first-match semantics; since the round-6 rewrite the resolution itself
+    is span-local, so the column is only validated, never shuffled on).  A
+    rule row with ``schema_url == ""`` is version-wildcard and applies to
+    every span; a versioned rule row applies only to spans whose
+    ``schema_url_col`` equals it.  Spans with NULL in that column see only
+    wildcard rules.
 
     If the rule set contains versioned rules and ``schema_url_col`` names a
     column the frame does not have, that is a caller error (typo'd name, or
@@ -96,15 +102,14 @@ def apply_rules_broadcast(
             }
         )
 
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} is not in the input ({df.columns})")
+
     spark = df.sparkSession
     sp = cfg.span_processing
     attrs = F.col(attrs_col)
     name = F.col(name_col)
     kind = F.col(kind_col)
-
-    table = rules_table(spark, cfg)
-    wildcard = table.filter(F.col("schema_url") == "").drop("schema_url")
-    versioned = table.filter(F.col("schema_url") != "")
 
     has_schema = schema_url_col is not None and schema_url_col in df.columns
     any_versioned = any(r.schema_url for r in sp.rules)
@@ -115,28 +120,44 @@ def apply_rules_broadcast(
             "schema_url_col=None to opt into wildcard-only matching"
         )
 
-    # candidate generation: span x applicable rule rows, both joins broadcast
-    cand_wild = df.join(F.broadcast(wildcard), how="cross")
-    if has_schema and any_versioned:
-        cand_ver = df.join(
-            F.broadcast(versioned),
-            on=df[schema_url_col] == versioned["schema_url"],
-            how="inner",
-        ).drop(versioned["schema_url"])
-        candidates = cand_wild.unionByName(cand_ver)
-    else:
-        candidates = cand_wild
+    # Versioned dispatch DATA: one broadcast row per schema_url with the
+    # ordered applicable seq set.  Left join: a span whose version has no
+    # rule rows (or whose schema_url is NULL) gets NULL -> empty set.
+    dispatch_joined = False
+    if any_versioned and has_schema:
+        by_url: dict[str, list[int]] = {}
+        for seq, rule in enumerate(sp.rules):
+            if rule.schema_url:
+                by_url.setdefault(rule.schema_url, []).append(seq)
+        vseqs = spark.createDataFrame(
+            sorted((u, sorted(s)) for u, s in by_url.items()),
+            "schema_url string, __vseqs array<int>",
+        )
+        df = df.join(
+            F.broadcast(vseqs),
+            on=df[schema_url_col] == vseqs["schema_url"],
+            how="left",
+        ).drop(vseqs["schema_url"])
+        dispatch_joined = True
+    applicable_set = (
+        F.coalesce(F.col("__vseqs"), F.array().cast("array<int>"))
+        if dispatch_joined
+        else None
+    )
 
-    # per-candidate evaluation: lazy CASE dispatch by rule_id over the same
-    # compiled Columns the chain cascade uses (skip-guard folded in)
     compiled = compile_rule_columns(cfg, attrs, name, kind)
-    rid = F.col("rule_id")
-    pred_case = F.lit(False)
-    hit_case = F.lit(None).cast(_HIT_TYPE)
-    for c in compiled:
+
+    # Same lazy first-match struct chain as apply_rules, each versioned
+    # rule's predicate gated on membership in the span's applicable set.
+    no_match = F.lit(None).cast(
+        "struct<rule_id:string,op_name:string,op_type:string>"
+    )
+    cascade = no_match
+    for seq in reversed(range(len(compiled))):
+        c = compiled[seq]
+        rule = sp.rules[seq]
         hit = F.struct(
-            F.col("seq").alias("seq"),
-            rid.alias("rule_id"),
+            F.lit(c.rule_id).alias("rule_id"),
             c.operation_name.alias("op_name"),
             (
                 c.operation_type
@@ -144,30 +165,24 @@ def apply_rules_broadcast(
                 else F.lit(None).cast("string")
             ).alias("op_type"),
         )
-        this = rid == c.rule_id
-        pred_case = F.when(this, c.predicate).otherwise(pred_case)
-        hit_case = F.when(this, hit).otherwise(hit_case)
+        pred = c.predicate
+        if rule.schema_url:
+            # versioned rule: applies only when the broadcast table lists it
+            # for this span's schema version (never, in wildcard-only mode)
+            gate = (
+                F.array_contains(applicable_set, F.lit(seq))
+                if applicable_set is not None
+                else F.lit(False)
+            )
+            pred = gate & pred
+        if c.name_nullable:
+            # name-expr error => skip this rule, next rule may still match
+            # (processor.go:244-250) — identical fold to the chain cascade
+            pred = pred & c.operation_name.isNotNull()
+        cascade = F.when(pred, hit).otherwise(cascade)
 
-    guard = attr(attrs, sp.operation_name_attribute).isNull()
-    matched = (
-        candidates.filter(guard & pred_case)
-        .select(F.col(id_col), hit_case.alias("__hit"))
-        .filter(F.col("__hit")["op_name"].isNotNull())
-    )
+    # skip-guard (processor.go:202-206)
+    guarded = F.when(attr(attrs, sp.operation_name_attribute).isNull(), cascade)
 
-    # first-match-wins: min over (seq, ...) — seq is the validated priority
-    # order, so this is exactly the chain cascade's resolution
-    winners = matched.groupBy(id_col).agg(F.min("__hit").alias("__hit"))
-    joined = df.join(winners, on=id_col, how="left")
-    joined = joined.withColumn(
-        "__match",
-        F.when(
-            F.col("__hit").isNotNull(),
-            F.struct(
-                F.col("__hit")["rule_id"].alias("rule_id"),
-                F.col("__hit")["op_name"].alias("op_name"),
-                F.col("__hit")["op_type"].alias("op_type"),
-            ),
-        ),
-    ).drop("__hit")
-    return finish_match(joined, cfg, attrs_col, name_col)
+    out = finish_match(df.withColumn("__match", guarded), cfg, attrs_col, name_col)
+    return out.drop("__vseqs") if dispatch_joined else out

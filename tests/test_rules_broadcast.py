@@ -132,13 +132,28 @@ def test_rules_table_shape(spark):
 
 
 def test_broadcast_plan_shape(spark, sf_dir):
-    """Plan gates: (1) the rule table attaches via broadcast join — the span
-    side must never shuffle FOR THE RULES; (2) first-match resolution does a
-    map-side partial_min before its exchange; (3) the only shuffles are the
-    two id-keyed ones (winner aggregation + winners join-back)."""
+    """Plan gates (round-6 rewrite): (1) with an all-wildcard rule set the
+    span side needs NO join and NO shuffle at all — the cascade collapses to
+    the chain's zero-exchange shape; (2) with versioned rules the dispatch
+    data attaches via a broadcast hash join on schema_url and the span side
+    STILL never shuffles (the old shape paid x18 candidate amplification
+    plus two id-keyed exchanges)."""
     cfg = reference_config()
     out = apply_rules_broadcast(doc_spans(spark, sf_dir), cfg, id_col="doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "partial_min" in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    versioned_cfg = reference_config()
+    for r in versioned_cfg.span_processing.rules[:3]:
+        r.schema_url = "1.26.0"
+    # non-foldable schema_url column: a literal would constant-fold away the
+    # equi-join key and degrade the test to a nested-loop artifact
+    spans = doc_spans(spark, sf_dir).withColumn(
+        "schema_url",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("1.26.0")).otherwise(F.lit("1.21.0")),
+    )
+    out_v = apply_rules_broadcast(spans, versioned_cfg, id_col="doc_id")
+    plan_v = out_v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_v
+    assert "Exchange hashpartitioning" not in plan_v

@@ -292,7 +292,11 @@ def _cell_dots(vec: Column, centroids: list[list[float]]) -> Column:
     INNER PRODUCT, not cosine: raw centroid components stay byte-exact
     across engines (normalizing on the driver would bake Python's summation
     order into the literals and flip ulp-close argmax ties in the oracle)."""
-    return F.array(*[dot(vec, F.array(*[F.lit(v) for v in row])) for row in centroids])
+    # one ARRAY LITERAL per centroid (not CreateArray of n Literal nodes):
+    # round-6 profiling put ~3s of every topk_* call in driver-side plan
+    # construction/analysis of the element-wise literal trees; F.lit(row)
+    # is a single Literal node with identical values
+    return F.array(*[dot(vec, F.lit([float(v) for v in row])) for row in centroids])
 
 
 def assign_cell(vec: Column, centroids: list[list[float]]) -> Column:
@@ -452,7 +456,7 @@ def embedding_near_dup_pairs(
         id_col, vec_col, l2_norm(F.col(vec_col)).alias("__n")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_tagged = [
-        F.concat(F.lit(f"{t}:"), lsh_signature(F.col(vec_col), hyperplanes(dim, bits, seed=f"lsh-{t}")))
+        F.concat(F.lit(f"{t}:"), F.expr(_sig_sql(vec_col, hyperplanes(dim, bits, seed=f"lsh-{t}"))))
         for t in range(tables)
     ]
     banded_cached = vecs.select(
@@ -528,6 +532,29 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _sig_sql(vec_name: str, planes: list[list[float]]) -> str:
+    """``lsh_signature`` as ONE SQL string over a named vector column.
+
+    Driver-side cost fix (round 6): building the signature through the
+    Column API issues ~27k py4j round-trips per topk_lsh call (one per
+    element literal, two lambda constructions per dot), measured as ~3s of
+    every call's wall BEFORE any execution.  Parsing one SQL string
+    JVM-side produces the IDENTICAL expression tree (same zip_with /
+    aggregate fold, same cast and comparison semantics; float literals use
+    repr round-trip so the doubles are bit-equal) — parity is pinned by
+    tests/test_training_ops.py::test_sig_sql_matches_column_api."""
+    bits = []
+    for row in planes:
+        arr = "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + ")"
+        d = (
+            f"aggregate(zip_with(`{vec_name}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -561,9 +588,11 @@ def topk_lsh(
     probe_tagged = []
     for t in range(tables):
         planes = hyperplanes(dim, bits, seed=f"lsh-{t}")
-        sig = lsh_signature(F.col(vec_col), planes)
+        # one F.expr per signature instead of per-element Column calls —
+        # see _sig_sql (kills ~3s of py4j chatter per topk_lsh call)
+        sig = F.expr(_sig_sql(vec_col, planes))
         sig_tagged.append(F.concat(F.lit(f"{t}:"), sig))
-        qsig = lsh_signature(F.col(vec_col), planes)
+        qsig = F.expr(_sig_sql(vec_col, planes))
         probes = [qsig]
         for i in range(min(multiprobe, bits)):
             probes.append(

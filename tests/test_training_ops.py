@@ -375,3 +375,25 @@ def test_release_cached_unpersists_intermediates(spark, docs):
     assert deps and all(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
     release_cached(res)
     assert all(not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps)
+
+
+def test_sig_sql_matches_column_api(spark, sf_dir):
+    """Round-6: the SQL-string signature builder must produce bit-identical
+    signatures to the Column-API lsh_signature (same fold order, same
+    casts, round-trip float literals)."""
+    from pyspark.sql import functions as F
+
+    from otel_semconvprocessor_spark.operators.similarity import (
+        _sig_sql,
+        hyperplanes,
+        lsh_signature,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = hyperplanes(64, 8, seed="lsh-0")
+    both = emb.select(
+        lsh_signature(F.col("embedding"), planes).alias("api"),
+        F.expr(_sig_sql("embedding", planes)).alias("sql"),
+    )
+    assert both.filter(F.col("api") != F.col("sql")).count() == 0
+    assert both.count() > 0

@@ -108,6 +108,75 @@ class OTTLSyntaxError(ValueError):
     """Raised when an expression falls outside the supported OTTL subset."""
 
 
+# Sentinel bytes for the single-pass group extraction below; never present
+# in sane text, and rows containing any of them take the per-group fallback
+# so the fast path is correctness-neutral on ALL inputs.
+_GRP_SEP, _GRP_OPEN, _GRP_CLOSE = "\x01", "\x02", "\x03"
+
+
+def _extract_groups_map(col: Column, java_pat: str, key_by_num: dict[int, str]) -> Column:
+    """Map of named-capture extractions from the FIRST match of ``java_pat``,
+    empty captures omitted — the ExtractPatterns/ExtractGrokPatterns value.
+
+    Plan note (round 6): the one-``regexp_extract``-per-group lowering runs
+    the full pattern once per group per row — 16 executions of the 15-capture
+    COMBINEDAPACHELOG per line.  The fast path here runs it ONCE via
+    ``regexp_replace`` with a sentinel-framed ``$1␁$2…`` replacement, slices
+    the first match's frame out and splits it, so every group comes from a
+    single regex execution.  Rows containing a sentinel byte (never, in real
+    text) fall back to the per-group form, which keeps the result identical
+    on every input: Java renders an unmatched/empty group as "" in a
+    replacement exactly as ``regexp_extract`` returns "" for it, both are
+    filtered, and the first replacement site is the same leftmost match
+    ``regexp_extract`` uses.  Measured 4.42s -> 1.1s on the 1M-line apache
+    bench."""
+    n_groups = max(key_by_num)
+    # per-POSITION key names (NULL for unnamed groups), as one literal array;
+    # zip_with takes the split-values array as a real higher-order-function
+    # CHILD, so the regexp_replace subtree is evaluated exactly once per row
+    # (a lambda closing over it would re-evaluate it per element — measured
+    # 15 replace runs/row, slower than the per-group form it replaces).
+    keys_by_pos = F.array(
+        *[
+            F.lit(key_by_num[i]) if i in key_by_num else F.lit(None).cast("string")
+            for i in range(1, n_groups + 1)
+        ]
+    )
+    repl = _GRP_OPEN + _GRP_SEP.join(f"${i}" for i in range(1, n_groups + 1)) + _GRP_CLOSE
+    frame = F.substring_index(
+        F.substring_index(F.regexp_replace(col, java_pat, repl), _GRP_CLOSE, 1),
+        _GRP_OPEN,
+        -1,
+    )
+    vals = F.split(frame, _GRP_SEP, -1)
+    fast = F.zip_with(
+        keys_by_pos,
+        vals,
+        lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+    )
+    slow = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.regexp_extract(col, java_pat, num).alias("value"),
+            )
+            for num, k in sorted(key_by_num.items())
+        ]
+    )
+    sentinel_free = (
+        ~col.contains(_GRP_SEP) & ~col.contains(_GRP_OPEN) & ~col.contains(_GRP_CLOSE)
+    )
+    matched = col.rlike(java_pat)
+    no_entries = F.array().cast("array<struct<key:string,value:string>>")
+    entries = F.when(
+        sentinel_free, F.when(matched, fast).otherwise(no_entries)
+    ).otherwise(slow)
+    # key NULL = unnamed position (fast path only); "" = no/empty capture
+    return F.map_from_entries(
+        F.filter(entries, lambda e: e["key"].isNotNull() & (e["value"] != ""))
+    )
+
+
 # Duration(x) yields total nanoseconds (double); the converters divide/cast
 # with upstream ottlfuncs return types (Hours/Minutes/Seconds -> float64,
 # Milliseconds/Microseconds/Nanoseconds -> int64)
@@ -735,20 +804,11 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         # executor runtime, past compile-time validation.
         java_pat = re.sub(r"\(\?P<[^>]+>", "(", pat.value)
         col = comp(tgt)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(g).alias("key"),
-                    F.regexp_extract(col, java_pat, num).alias("value"),
-                )
-                for g, num in groupindex.items()
-            ]
-        )
         # OTTL errors on a nil target; error-as-null model (R6) -> NULL map,
         # consistent with IsMatch/Substring — not an empty {}.
         return F.when(
             col.isNotNull(),
-            F.map_from_entries(F.filter(entries, lambda e: e["value"] != "")),
+            _extract_groups_map(col, java_pat, {num: g for g, num in groupindex.items()}),
         )
     if node.func == "MD5":
         return F.md5(comp(_unary(node)).cast("binary"))
@@ -885,18 +945,11 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
             )
         java_pat = re.sub(r"\(\?P<[^>]+>", "(", flat)
         col = comp(node.args[0])
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(name_map.get(g, g)).alias("key"),
-                    F.regexp_extract(col, java_pat, num).alias("value"),
-                )
-                for g, num in groupindex.items()
-            ]
-        )
         return F.when(
             col.isNotNull() & col.rlike(java_pat),
-            F.map_from_entries(F.filter(entries, lambda e: e["value"] != "")),
+            _extract_groups_map(
+                col, java_pat, {num: name_map.get(g, g) for g, num in groupindex.items()}
+            ),
         )
     if node.func == "TruncateAll":
         # editor truncate_all(attributes, limit) value-form: every map value

@@ -114,7 +114,13 @@ class OTTLSyntaxError(ValueError):
 _GRP_SEP, _GRP_OPEN, _GRP_CLOSE = "\x01", "\x02", "\x03"
 
 
-def _extract_groups_map(col: Column, java_pat: str, key_by_num: dict[int, str]) -> Column:
+def _extract_groups_map(
+    col: Column,
+    java_pat: str,
+    key_by_num: dict[int, str],
+    *,
+    assume_matched: bool = False,
+) -> Column:
     """Map of named-capture extractions from the FIRST match of ``java_pat``,
     empty captures omitted — the ExtractPatterns/ExtractGrokPatterns value.
 
@@ -166,11 +172,18 @@ def _extract_groups_map(col: Column, java_pat: str, key_by_num: dict[int, str]) 
     sentinel_free = (
         ~col.contains(_GRP_SEP) & ~col.contains(_GRP_OPEN) & ~col.contains(_GRP_CLOSE)
     )
-    matched = col.rlike(java_pat)
-    no_entries = F.array().cast("array<struct<key:string,value:string>>")
-    entries = F.when(
-        sentinel_free, F.when(matched, fast).otherwise(no_entries)
-    ).otherwise(slow)
+    # ``assume_matched``: the caller's own gate already ran the pattern
+    # (ExtractGrokPatterns wraps this in ``col.rlike(pat)``) — skip the
+    # second full regex execution per row; ExtractPatterns has no such gate
+    # (no-match must yield {}) and keeps the inner check.
+    if assume_matched:
+        entries = F.when(sentinel_free, fast).otherwise(slow)
+    else:
+        matched = col.rlike(java_pat)
+        no_entries = F.array().cast("array<struct<key:string,value:string>>")
+        entries = F.when(
+            sentinel_free, F.when(matched, fast).otherwise(no_entries)
+        ).otherwise(slow)
     # key NULL = unnamed position (fast path only); "" = no/empty capture
     return F.map_from_entries(
         F.filter(entries, lambda e: e["key"].isNotNull() & (e["value"] != ""))
@@ -948,7 +961,10 @@ def _compile_call(node: _Call, attrs_col, name_col, resource_col) -> Column:
         return F.when(
             col.isNotNull() & col.rlike(java_pat),
             _extract_groups_map(
-                col, java_pat, {num: name_map.get(g, g) for g, num in groupindex.items()}
+                col,
+                java_pat,
+                {num: name_map.get(g, g) for g, num in groupindex.items()},
+                assume_matched=True,
             ),
         )
     if node.func == "TruncateAll":

@@ -543,11 +543,12 @@ def _sig_sql(vec_name: str, planes: list[list[float]]) -> str:
     aggregate fold, same cast and comparison semantics; float literals use
     repr round-trip so the doubles are bit-equal) — parity is pinned by
     tests/test_training_ops.py::test_sig_sql_matches_column_api."""
+    vec_ref = "`" + vec_name.replace("`", "``") + "`"  # escape embedded backticks
     bits = []
     for row in planes:
         arr = "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + ")"
         d = (
-            f"aggregate(zip_with(`{vec_name}`, {arr}, "
+            f"aggregate(zip_with({vec_ref}, {arr}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )

@@ -12,14 +12,14 @@ def test_operators_apply_jit_codegen_limit(spark):
 
 
 def test_user_override_respected(spark):
-    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "12345")
+    """An explicit user setting — even Spark's own default value — must
+    survive ensure calls (unset is detected via conf.get(key, None))."""
     try:
-        # a fresh ensure call must not clobber a non-default user setting
-        from otel_semconvprocessor_spark import tuning
-
-        tuning._applied.discard(id(spark))
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "65535")
+        ensure_jit_codegen(spark)
+        assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "65535"
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "12345")
         ensure_jit_codegen(spark)
         assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "12345"
     finally:
         spark.conf.set("spark.sql.codegen.hugeMethodLimit", str(JIT_HUGE_METHOD_LIMIT))
-        tuning._applied.discard(id(spark))

@@ -134,8 +134,8 @@ def _extract_groups_map(
     on every input: Java renders an unmatched/empty group as "" in a
     replacement exactly as ``regexp_extract`` returns "" for it, both are
     filtered, and the first replacement site is the same leftmost match
-    ``regexp_extract`` uses.  Measured 4.42s -> 1.1s on the 1M-line apache
-    bench."""
+    ``regexp_extract`` uses.  Measured 4.42s -> 1.46s on the 1M-line apache
+    bench (with ``assume_matched`` sparing the second rlike)."""
     n_groups = max(key_by_num)
     # per-POSITION key names (NULL for unnamed groups), as one literal array;
     # zip_with takes the split-values array as a real higher-order-function

@@ -585,15 +585,20 @@ def topk_lsh(
     # driver-side probe read
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    sig_tagged = []
+    # one F.expr per signature instead of per-element Column calls — see
+    # _sig_sql (kills ~3s of py4j chatter per topk_lsh call).  Signatures
+    # are STAGED as projected columns on both sides; the explode arrays and
+    # the multiprobe bit-flips then reference tiny column refs instead of
+    # re-embedding each table's full dot-product tree (the flip probes
+    # previously carried ~4 copies of it per table through analysis).
+    sig_exprs = {
+        f"__s{t}": F.expr(_sig_sql(vec_col, hyperplanes(dim, bits, seed=f"lsh-{t}")))
+        for t in range(tables)
+    }
+    sig_tagged = [F.concat(F.lit(f"{t}:"), F.col(f"__s{t}")) for t in range(tables)]
     probe_tagged = []
     for t in range(tables):
-        planes = hyperplanes(dim, bits, seed=f"lsh-{t}")
-        # one F.expr per signature instead of per-element Column calls —
-        # see _sig_sql (kills ~3s of py4j chatter per topk_lsh call)
-        sig = F.expr(_sig_sql(vec_col, planes))
-        sig_tagged.append(F.concat(F.lit(f"{t}:"), sig))
-        qsig = F.expr(_sig_sql(vec_col, planes))
+        qsig = F.col(f"__s{t}")
         probes = [qsig]
         for i in range(min(multiprobe, bits)):
             probes.append(
@@ -609,6 +614,11 @@ def topk_lsh(
         id_col,
         vec_col,
         l2_norm(F.col(vec_col)).alias("__cn"),  # norm once per vector, pre-explode
+        *[e.alias(n) for n, e in sig_exprs.items()],
+    ).select(
+        id_col,
+        vec_col,
+        "__cn",
         F.explode(F.array(*sig_tagged)).alias("__sig"),
     )
     q = (
@@ -616,6 +626,12 @@ def topk_lsh(
             F.col(id_col).alias(query_id),
             F.col(vec_col).alias("__qvec"),
             l2_norm(F.col(vec_col)).alias("__qn"),
+            *[e.alias(n) for n, e in sig_exprs.items()],
+        )
+        .select(
+            query_id,
+            "__qvec",
+            "__qn",
             F.explode(F.array(*probe_tagged)).alias("__sig"),
         )
         .dropDuplicates([query_id, "__sig"])
